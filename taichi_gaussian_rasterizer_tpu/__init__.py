@@ -1,0 +1,28 @@
+"""taichi_gaussian_rasterizer_tpu — TPU-native differentiable gaussian splatting.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+uc-vision/taichi_gaussian_rasterizer (taichi-splatting): a render pipeline
+decomposed into separately-callable differentiable ops — EWA perspective
+projection, spherical-harmonics shading, tile mapping, and tile-sorted
+front-to-back alpha-blend rasterization — plus optimizers and training
+utilities. See SURVEY.md for the structural map of the reference.
+"""
+
+__version__ = "0.1.0"
+
+from .config import RasterConfig
+from .data_types import Gaussians3D, Gaussians2D, check_packed3d, check_packed2d
+from .ops import (CameraParams, project_to_image, project_points,
+                  evaluate_sh_at)
+
+__all__ = [
+    "RasterConfig",
+    "Gaussians3D",
+    "Gaussians2D",
+    "check_packed3d",
+    "check_packed2d",
+    "CameraParams",
+    "project_to_image",
+    "project_points",
+    "evaluate_sh_at",
+]

@@ -1,0 +1,65 @@
+"""Raster configuration.
+
+TPU-native rebuild of the reference's `RasterConfig`
+(see /root/reference/taichi_splatting/data_types.py:12-40). The frozen,
+hashable dataclass doubles as the kernel-specialization key: it is passed
+as a static argument under `jax.jit`, so every distinct config compiles its
+own Pallas kernels (the analog of the reference's `@cache`-keyed Taichi
+kernel factories, e.g. rasterizer/forward.py:11).
+
+TPU-specific additions (static shapes under XLA):
+
+* ``max_tile_span`` — per-gaussian tile footprint cap. XLA needs a static
+  candidate-tile enumeration per gaussian; gaussians whose adaptive cutoff
+  radius would span more tiles have their footprint clamped. The reference
+  has no such cap (dynamic loops, tile_mapper.py:134), but in practice
+  footprints are small; 16x16 tiles = 256px radius at tile_size 16.
+* ``points_per_chunk`` — number of gaussians staged per VMEM chunk in the
+  raster kernels (the analog of the reference's `tile_area`-sized shared
+  memory point groups, forward.py:62-66). Tile bins are padded to a
+  multiple of this so kernels run unmasked full chunks.
+"""
+
+from dataclasses import dataclass, replace
+from typing import Tuple
+
+
+@dataclass(frozen=True, eq=True, kw_only=True)
+class RasterConfig:
+  tile_size: int = 16
+
+  # kept for API parity with the reference (backward per-thread pixel tile);
+  # the TPU backward vectorizes whole tiles so this knob is unused.
+  pixel_stride: Tuple[int, int] = (2, 2)
+
+  # clamp position to within this margin of the image for the affine Jacobian
+  clamp_margin: float = 0.15
+
+  # use the analytic antialiased (box-integrated) gaussian pdf
+  antialias: bool = False
+
+  # add blur_cov * I to the projected 2D covariance
+  blur_cov: float = 0.3
+
+  clamp_max_alpha: float = 0.99
+  alpha_threshold: float = 1.0 / 255.0
+
+  # stop alpha blending once accumulated weight reaches this
+  saturate_threshold: float = 0.9999
+
+  # if False, output the feature of the point crossing (1 - saturate_threshold)
+  # accumulated weight (quantile/median filter; reference forward.py:109-114)
+  use_alpha_blending: bool = True
+
+  compute_point_heuristic: bool = False  # implies compute_visibility
+  compute_visibility: bool = False
+
+  # --- TPU static-shape knobs (no reference analog) ---
+  # cap on per-gaussian tile footprint (candidate tiles enumerated statically)
+  max_tile_span: int = 16
+  # gaussians staged per VMEM chunk inside raster kernels; tile bins are
+  # padded to a multiple of this
+  points_per_chunk: int = 128
+
+  def replace(self, **kwargs) -> "RasterConfig":
+    return replace(self, **kwargs)

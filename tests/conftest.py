@@ -1,0 +1,25 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
+without TPU hardware) with float64 enabled so gradcheck-style tests can run
+at full precision — the analog of the reference's f64 Taichi library +
+`ti.cpu` debug arch (SURVEY.md §4). Pallas kernels automatically fall back
+to interpreter mode on CPU (see ops/raster).
+
+The ambient environment force-registers a remote-TPU PJRT plugin
+(JAX_PLATFORMS=axon via sitecustomize) that would turn every eager test op
+into a network round-trip; `jax.config.update("jax_platforms", "cpu")`
+before first backend use overrides it.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

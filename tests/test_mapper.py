@@ -1,0 +1,156 @@
+"""Tile mapper tests against an independent numpy oracle.
+
+The oracle does a full 4-axis OBB-vs-AABB separating-axis test in numpy;
+within the ellipse's AABB tile span this is equivalent to the reference's
+2-axis test (grid_query.py:30-43) because the x/y axes never separate
+inside the span.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taichi_gaussian_rasterizer_tpu import RasterConfig
+from taichi_gaussian_rasterizer_tpu.ops import lib
+from taichi_gaussian_rasterizer_tpu.ops.mapper import (
+    map_to_tiles, num_tiles, pad_to_tile)
+from taichi_gaussian_rasterizer_tpu.models.renderer2d import project_gaussians2d
+from taichi_gaussian_rasterizer_tpu.utils.random_data import random_2d_gaussians
+
+
+def oracle_bins(points, depths, image_size, config):
+  """Per-tile point lists, depth-sorted, via brute-force numpy."""
+  pts = np.asarray(points, np.float64)
+  depths = np.asarray(depths, np.float64).reshape(-1)
+  ts = config.tile_size
+  tw, th = num_tiles(image_size, ts)
+
+  bins = [[] for _ in range(tw * th)]
+  for i in range(pts.shape[0]):
+    mean, axis, sigma, alpha = pts[i, 0:2], pts[i, 2:4], pts[i, 4:6], pts[i, 6]
+    if alpha <= config.alpha_threshold:
+      continue
+    gs = np.sqrt(2 * np.log(alpha / config.alpha_threshold))
+    r = sigma * gs
+    u1 = axis * r[0]
+    u2 = np.array([-axis[1], axis[0]]) * r[1]
+    extent = np.sqrt(u1 ** 2 + u2 ** 2)
+    lo, hi = mean - extent, mean + extent
+
+    tx0 = max(int(np.floor(lo[0] / ts)), 0)
+    ty0 = max(int(np.floor(lo[1] / ts)), 0)
+    tx1 = min(max(int(np.ceil(hi[0] / ts)), tx0 + 1), tw)
+    ty1 = min(max(int(np.ceil(hi[1] / ts)), ty0 + 1), th)
+
+    for ty in range(ty0, ty1):
+      for tx in range(tx0, tx1):
+        # exact OBB (rotated rect spanned by u1,u2) vs tile AABB SAT
+        cx, cy = tx * ts + ts / 2 - mean[0], ty * ts + ts / 2 - mean[1]
+        sep = False
+        for ax, rad in ((axis, r[0]), (np.array([-axis[1], axis[0]]), r[1])):
+          centre = cx * ax[0] + cy * ax[1]
+          tile_r = abs(ax[0]) * ts / 2 + abs(ax[1]) * ts / 2
+          if abs(centre) > tile_r + rad:
+            sep = True
+        if not sep:
+          bins[tx + ty * tw].append(i)
+
+  for b in bins:
+    b.sort(key=lambda i: depths[i])
+  return bins
+
+
+def make_scene(seed, n, image_size, dtype=jnp.float64):
+  g = random_2d_gaussians(jax.random.PRNGKey(seed), n, image_size,
+                          dtype=dtype)
+  points = project_gaussians2d(g, image_size)
+  return points, g.z_depth
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_mapper_matches_oracle(seed):
+  image_size = (160, 96)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth = make_scene(seed, 60, image_size)
+
+  mapping = map_to_tiles(points, depth, image_size, config)
+  assert not bool(mapping.overflow)
+
+  bins = oracle_bins(points, depth, image_size, config)
+  otp = np.asarray(mapping.overlap_to_point)
+  ranges = np.asarray(mapping.tile_ranges)
+  n = points.shape[0]
+  depths = np.asarray(depth).reshape(-1)
+
+  total = 0
+  for t, expected in enumerate(bins):
+    s, e = ranges[t]
+    assert s % config.points_per_chunk == 0, "bin starts must be chunk-aligned"
+    got = otp[s:e].tolist()
+    assert n not in got, "sentinel inside a live range"
+    # same set of points
+    assert sorted(got) == sorted(expected), f"tile {t}"
+    # sorted by depth (ties in any order)
+    got_d = depths[got]
+    assert (np.diff(got_d) >= -1e-12).all(), f"tile {t} not depth sorted"
+    # padding after the range is sentinel up to the chunk boundary
+    pad_end = s + -(-len(got) // config.points_per_chunk) * config.points_per_chunk
+    assert (otp[e:pad_end] == n).all()
+    total += len(expected)
+
+  assert int(mapping.total_overlaps) == total
+
+
+def test_mapper_depth16_ordering():
+  image_size = (64, 64)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth = make_scene(3, 40, image_size)
+  # depth16 requires depth in [0,1]; random z_depth already is
+  m32 = map_to_tiles(points, depth, image_size, config)
+  m16 = map_to_tiles(points, depth, image_size, config, use_depth16=True)
+
+  r32, r16 = np.asarray(m32.tile_ranges), np.asarray(m16.tile_ranges)
+  np.testing.assert_array_equal(r32[:, 1] - r32[:, 0], r16[:, 1] - r16[:, 0])
+  depths = np.asarray(depth).reshape(-1)
+  otp = np.asarray(m16.overlap_to_point)
+  for t in range(r16.shape[0]):
+    s, e = r16[t]
+    got = otp[s:e]
+    q = np.floor(np.clip(depths[got], 0, 1) * 65535)
+    assert (np.diff(q) >= 0).all(), "depth16 bins must be quantized-sorted"
+
+
+def test_mapper_empty_and_culled():
+  image_size = (64, 64)
+  config = RasterConfig(tile_size=16)
+  pts = jnp.zeros((10, 7))  # alpha 0 -> all culled
+  mapping = map_to_tiles(pts, jnp.ones((10,)), image_size, config)
+  assert int(mapping.total_overlaps) == 0
+  assert (np.asarray(mapping.tile_ranges)[:, 0]
+          == np.asarray(mapping.tile_ranges)[:, 1]).all()
+  assert (np.asarray(mapping.overlap_to_point) == 10).all()
+
+
+def test_mapper_overflow_flag():
+  image_size = (128, 128)
+  config = RasterConfig(tile_size=16)
+  points, depth = make_scene(0, 200, image_size)
+  mapping = map_to_tiles(points, depth, image_size, config, capacity=8)
+  assert bool(mapping.overflow)
+
+
+def test_mapper_big_gaussian_cropped_flag():
+  """A gaussian spanning more than max_tile_span tiles sets overflow."""
+  image_size = (512, 512)
+  config = RasterConfig(tile_size=16, max_tile_span=4)
+  pts = jnp.asarray([[256.0, 256.0, 1.0, 0.0, 300.0, 300.0, 0.9]])
+  mapping = map_to_tiles(pts, jnp.ones((1,)), image_size, config)
+  assert bool(mapping.overflow)
+  # still emits its (cropped) footprint
+  assert int(mapping.total_overlaps) > 0
+
+
+def test_pad_to_tile():
+  assert pad_to_tile((100, 33), 16) == (112, 48)
+  assert pad_to_tile((128, 64), 16) == (128, 64)

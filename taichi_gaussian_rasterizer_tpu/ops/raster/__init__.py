@@ -1,0 +1,14 @@
+from .function import RasterOut, rasterize, rasterize_with_tiles
+from .forward import rasterize_tiles_pallas
+from .xla_impl import rasterize_tiles_xla
+from . import blend, tiles
+
+__all__ = [
+    "RasterOut",
+    "rasterize",
+    "rasterize_with_tiles",
+    "rasterize_tiles_pallas",
+    "rasterize_tiles_xla",
+    "blend",
+    "tiles",
+]

@@ -1,0 +1,217 @@
+"""Pallas backward rasterizer kernel.
+
+TPU-native redesign of the reference's hand-written backward
+(/root/reference/taichi_splatting/rasterizer/backward.py) — the
+performance-critical kernel of the whole framework (34% of fwd+bwd time
+in the reference's profile). Differences by design:
+
+* Same traversal as the forward (front-to-back replay), but the
+  reference's per-pixel `remaining_features` buffer (backward.py:110,177)
+  is replaced by two scalars per pixel: E = sum_c(final_image * grad) and
+  the running inclusive sum C of w*D — see blend.chunk_alpha_grads.
+  E is precomputed outside the kernel as a (T, P, 1) input so the kernel
+  never transposes.
+* No atomics anywhere (reference: warp shuffle -> shared-memory atomic ->
+  global atomic, backward.py:204-228): each tile DMAs its per-overlap-slot
+  gradients to a private range of a (rows, K_pad) buffer; a segment_sum
+  keyed by overlap_to_point reduces them to per-point gradients outside.
+* The alpha/weight image is differentiable too (the reference marks
+  image_alpha non-differentiable, function.py:72): the gathered feature
+  buffer carries a virtual all-ones channel at row F, so the alpha image
+  is just another blended channel in both the forward matmul and D.
+* The per-point heuristics (prune cost = sum of squared alpha-gradients,
+  split score = l1 norm of the position gradient; backward.py:194-198)
+  are emitted as two extra gradient rows when enabled.
+* No saturation early-exit (yet): every chunk's gradient slots must be
+  written since the slot buffer has no other initialization. Saturation
+  gates make post-saturation gradients exactly zero.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import RasterConfig
+from ..mapper import TileMapping
+from . import blend
+from .forward import cdiv_i32, use_interpret
+
+
+def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
+                     compute_point_heuristic: bool):
+  ts = config.tile_size
+  p = ts * ts
+  g = config.points_per_chunk
+  th, tw = tile_shape
+  gp_rows = 16 if compute_point_heuristic else 8
+
+  def kernel(starts_ref, nchunks_ref,               # scalar prefetch
+             pts_hbm, feats_hbm, grad_ref, e_ref,   # inputs
+             gpts_hbm, gfeats_hbm,                  # outputs
+             pts_vmem, feats_vmem, gpts_vmem, gfeats_vmem,  # scratch
+             sem_p, sem_f, sem_gp, sem_gf):
+    t = pl.program_id(0)
+    dtype = grad_ref.dtype
+    start = starts_ref[t]
+    nch = nchunks_ref[t]
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = ((t % tw) * ts + lin % ts).astype(dtype) + 0.5
+    py = ((t // tw) * ts + lin // ts).astype(dtype) + 0.5
+
+    grad = grad_ref[0]        # (F_pad, P): F feature rows, alpha row, zeros
+    e_col = e_ref[0]          # (P, 1)
+
+    def body(c, carry):
+      t_carry, c_carry = carry
+      # bin starts are chunk-aligned by construction (mapper relayout)
+      off = pl.multiple_of(start + c * g, g)
+      cp_p = pltpu.make_async_copy(
+          pts_hbm.at[:, pl.ds(off, g)], pts_vmem, sem_p)
+      cp_f = pltpu.make_async_copy(
+          feats_hbm.at[:, pl.ds(off, g)], feats_vmem, sem_f)
+      cp_p.start()
+      cp_f.start()
+      cp_p.wait()
+      cp_f.wait()
+
+      pts = pts_vmem[:, :]                            # (8, G)
+      feats = feats_vmem[:, :]                        # (F_pad, G)
+      pa = blend.point_row(pts, blend.ALPHA)          # (1, G)
+
+      (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
+          blend.chunk_pdf_with_grads(pts, px, py, config.antialias))
+      w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
+
+      # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
+      # via the ones row at F; padding rows are zero on both sides)
+      D = jax.lax.dot_general(
+          grad, feats, (((0,), (0,)), ((), ())),
+          preferred_element_type=dtype)               # (P, G)
+
+      ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
+      d_pdf = ag.dL_da_raw * pa                       # (P, G)
+      d_pa = ag.dL_da_raw * pdf
+
+      def col(x):  # reduce over pixels (sublanes) -> (1, G)
+        return jnp.sum(x, axis=0, keepdims=True)
+
+      gpts_vmem[0:1, :] = col(d_pdf * d_mx)
+      gpts_vmem[1:2, :] = col(d_pdf * d_my)
+      gpts_vmem[2:3, :] = col(d_pdf * d_ax)
+      gpts_vmem[3:4, :] = col(d_pdf * d_ay)
+      gpts_vmem[4:5, :] = col(d_pdf * d_sx)
+      gpts_vmem[5:6, :] = col(d_pdf * d_sy)
+      gpts_vmem[6:7, :] = col(d_pa)
+      gpts_vmem[7:8, :] = jnp.zeros((1, g), dtype)
+
+      if compute_point_heuristic:
+        # reference backward.py:194-198: per pixel aag = point_alpha *
+        # dL/da_raw; prune cost = sum_p aag^2, split score =
+        # sum_p |aag * dp_dmean|_1  (aag * dp_dmean == d_pdf * d_m)
+        aag = d_pdf
+        gpts_vmem[8:9, :] = col(aag * aag)
+        gpts_vmem[9:10, :] = col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+        gpts_vmem[10:16, :] = jnp.zeros((6, g), dtype)
+
+      # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
+      # (row F is the alpha-channel pseudo-gradient, dropped outside)
+      gfeats_vmem[:, :] = jax.lax.dot_general(
+          grad, w.weight, (((1,), (0,)), ((), ())),
+          preferred_element_type=dtype)               # (F_pad, G)
+
+      cp_gp = pltpu.make_async_copy(
+          gpts_vmem, gpts_hbm.at[:, pl.ds(off, g)], sem_gp)
+      cp_gf = pltpu.make_async_copy(
+          gfeats_vmem, gfeats_hbm.at[:, pl.ds(off, g)], sem_gf)
+      cp_gp.start()
+      cp_gf.start()
+      cp_gp.wait()
+      cp_gf.wait()
+
+      return w.t_carry, ag.c_carry
+
+    t0 = jnp.ones((p, 1), dtype)
+    c0 = jnp.zeros((p, 1), dtype)
+    jax.lax.fori_loop(0, nch, body, (t0, c0))
+
+  return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "compute_point_heuristic"))
+def raster_backward_pallas(gathered_pts: jax.Array,      # (8, K_pad)
+                           gathered_feats: jax.Array,    # (F_pad, K_pad)
+                           grad_padded: jax.Array,       # (T, F_pad, P)
+                           e_tiles: jax.Array,           # (T, P, 1)
+                           mapping: TileMapping,
+                           config: RasterConfig = None,
+                           compute_point_heuristic: bool = False):
+  """Run the backward kernel over padded tile bins.
+
+  grad_padded carries the feature-image cotangent rows, then the
+  alpha-image cotangent row at index F, then zeros up to F_pad;
+  e_tiles[t, p, 0] = sum_c final_image[t, c, p] * grad_padded[t, c, p].
+
+  Returns (gpts_slots (8 or 16, K_pad) rows [mx,my,ax,ay,sx,sy,alpha,0,
+  (h0,h1)], gfeats_slots (F_pad, K_pad)); reduce with
+  segment_sum(overlap_to_point) outside.
+  """
+  dtype = gathered_pts.dtype
+  ts = config.tile_size
+  g = config.points_per_chunk
+  th, tw = mapping.tile_shape
+  n_tiles = th * tw
+  p = ts * ts
+  k_pad = mapping.overlap_to_point.shape[0]
+  f_pad = gathered_feats.shape[0]
+  gp_rows = 16 if compute_point_heuristic else 8
+
+  starts = mapping.tile_ranges[:, 0]
+  nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
+
+  kernel = _backward_kernel(config, (th, tw), f_pad, compute_point_heuristic)
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(n_tiles,),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((1, f_pad, p), lambda t, *_: (t, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((8, g), dtype),
+          pltpu.VMEM((f_pad, g), dtype),
+          pltpu.VMEM((gp_rows, g), dtype),
+          pltpu.VMEM((f_pad, g), dtype),
+          pltpu.SemaphoreType.DMA,
+          pltpu.SemaphoreType.DMA,
+          pltpu.SemaphoreType.DMA,
+          pltpu.SemaphoreType.DMA,
+      ],
+  )
+
+  gpts, gfeats = pl.pallas_call(
+      kernel,
+      grid_spec=grid_spec,
+      out_shape=(
+          jax.ShapeDtypeStruct((gp_rows, k_pad), dtype),
+          jax.ShapeDtypeStruct((f_pad, k_pad), dtype),
+      ),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("arbitrary",)),
+      interpret=use_interpret(),
+  )(starts, nchunks, gathered_pts, gathered_feats, grad_padded, e_tiles)
+
+  return gpts, gfeats

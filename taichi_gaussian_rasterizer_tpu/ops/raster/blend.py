@@ -1,0 +1,211 @@
+"""Shared alpha-blend chunk math for the rasterizer.
+
+This is the single source of truth for the front-to-back blend semantics,
+used by the Pallas forward/backward kernels, the pure-XLA fallback
+renderer, and the custom_vjp. Re-derivation of the reference kernels
+(/root/reference/taichi_splatting/rasterizer/forward.py:96-114,
+backward.py:159-201) in vectorized chunk form.
+
+Orientation (TPU layout): **pixels on the sublane axis (P), points on the
+lane axis (G)**. Per-point scalars are (1, G) rows (sliced from a
+transposed (8, K) point buffer without relayout), per-pixel scalars are
+(P, 1) columns, and all pairwise quantities are (P, G). Consequences:
+
+* The reference's sequential per-point blend loop becomes an exclusive
+  cumulative product of (1 - alpha) along the lane axis, evaluated as a
+  strictly-upper-triangular (G, G) matmul in log space (MXU).
+* The per-point feature blend and gradient reductions are (F, G) x (P, G)
+  dot_generals contracting the shared axis — MXU, no transposes.
+* Saturation is an exact gate: a point's weight is zero once the pixel's
+  accumulated weight (before the point) reaches `saturate_threshold`.
+  The reference gates this way in its backward (backward.py:160-166) but
+  not its blending forward; we gate both so forward and custom backward
+  are mutually consistent (difference from the reference forward is
+  bounded by (1 - saturate_threshold) of the feature magnitude).
+* The backward needs no `remaining_features` replay buffer
+  (backward.py:110,177): with E = sum_c(final_image * grad_image) per
+  pixel and the running inclusive cumsum C_g of w_g * D_g
+  (D_g = sum_c F_g[c] * grad[c]), the alpha gradient is
+  T_g * D_g - (E - C_g) / (1 - a_g) — the reference's
+  feature_diff . grad in aggregate form.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...config import RasterConfig
+
+# packed point row indices (see data_types.py packed 2D format)
+MEAN_X, MEAN_Y, AXIS_X, AXIS_Y, SIGMA_X, SIGMA_Y, ALPHA = range(7)
+POINT_ROWS = 8  # padded to 8 rows for sublane alignment
+
+
+def point_row(pts, row):
+  """(8, G) packed point buffer -> (1, G) component row."""
+  return pts[row:row + 1, :]
+
+
+def chunk_pdf(pts, px, py, antialias: bool):
+  """Gaussian pdf of each (pixel, point) pair.
+
+  pts: (8, G) packed point rows; px, py: (P, 1) pixel centers.
+  Returns pdf (P, G).
+  """
+  dx = px - point_row(pts, MEAN_X)              # (P, G)
+  dy = py - point_row(pts, MEAN_Y)
+  ax = point_row(pts, AXIS_X)
+  ay = point_row(pts, AXIS_Y)
+  sx = point_row(pts, SIGMA_X)
+  sy = point_row(pts, SIGMA_Y)
+
+  tu = dx * ax + dy * ay                        # d . axis
+  tv = dy * ax - dx * ay                        # d . perp(axis)
+
+  if not antialias:
+    u = tu / sx
+    v = tv / sy
+    return jnp.exp(-0.5 * (u * u + v * v))
+
+  def S(x, s):
+    z = x / s
+    return jax.nn.sigmoid(1.6 * z + 0.07 * z * z * z)
+
+  ix = sx * (S(tu + 0.5, sx) - S(tu - 0.5, sx))
+  iy = sy * (S(tv + 0.5, sy) - S(tv - 0.5, sy))
+  return 2.0 * jnp.pi * ix * iy
+
+
+def chunk_pdf_with_grads(pts, px, py, antialias: bool):
+  """pdf plus analytic partials wrt mean, axis, sigma.
+
+  Returns (pdf, d_mean_x, d_mean_y, d_axis_x, d_axis_y, d_sigma_x,
+  d_sigma_y), each (P, G). Hand-derived (cf. generic.py:320-336 and
+  371-404) so the backward kernel avoids jax.grad inside Pallas.
+  """
+  dx = px - point_row(pts, MEAN_X)
+  dy = py - point_row(pts, MEAN_Y)
+  ax = point_row(pts, AXIS_X)
+  ay = point_row(pts, AXIS_Y)
+  sx = point_row(pts, SIGMA_X)
+  sy = point_row(pts, SIGMA_Y)
+
+  tu = dx * ax + dy * ay
+  tv = dy * ax - dx * ay
+
+  if not antialias:
+    u = tu / sx
+    v = tv / sy
+    p = jnp.exp(-0.5 * (u * u + v * v))
+    us, vs = u / sx, v / sy
+    # d = pixel - mean; tu = d.axis, tv = d.perp(axis)
+    d_mx = p * (us * ax - vs * ay)
+    d_my = p * (us * ay + vs * ax)
+    # dp/daxis = p * (-us * d + vs * perp(d)); perp(d) = (-dy, dx)
+    d_ax = p * (-us * dx - vs * dy)
+    d_ay = p * (-us * dy + vs * dx)
+    d_sx = p * u * u / sx
+    d_sy = p * v * v / sy
+    return p, d_mx, d_my, d_ax, d_ay, d_sx, d_sy
+
+  def S_grad(x, s):
+    z = x / s
+    sig = jax.nn.sigmoid(1.6 * z + 0.07 * z * z * z)
+    ds_dz = (1.6 + 0.21 * z * z) * sig * (1 - sig)
+    return sig, ds_dz / s, -(ds_dz / s) * z   # S, dS/dx, dS/dsigma
+
+  tau = 2.0 * jnp.pi
+  Sx1, dSx1, dSx1_s = S_grad(tu + 0.5, sx)
+  Sx2, dSx2, dSx2_s = S_grad(tu - 0.5, sx)
+  Sy1, dSy1, dSy1_s = S_grad(tv + 0.5, sy)
+  Sy2, dSy2, dSy2_s = S_grad(tv - 0.5, sy)
+
+  ix = sx * (Sx1 - Sx2)
+  iy = sy * (Sy1 - Sy2)
+  p = tau * ix * iy
+
+  dpx = tau * iy * sx * (dSx1 - dSx2)   # dp/dtu
+  dpy = tau * ix * sy * (dSy1 - dSy2)   # dp/dtv
+
+  d_mx = -(dpx * ax - dpy * ay)
+  d_my = -(dpx * ay + dpy * ax)
+  d_ax = dpx * dx + dpy * dy
+  d_ay = dpx * dy - dpy * dx
+  d_sx = tau * iy * (Sx1 - Sx2 + (dSx1_s - dSx2_s) * sx)
+  d_sy = tau * ix * (Sy1 - Sy2 + (dSy1_s - dSy2_s) * sy)
+  return p, d_mx, d_my, d_ax, d_ay, d_sx, d_sy
+
+
+def exclusive_cumsum_lanes(x):
+  """Exclusive cumsum along the point (lane) axis via strictly-upper-
+  triangular matmul: out[:, g] = sum_{k<g} x[:, k]. (P, G) -> (P, G)."""
+  g = x.shape[1]
+  row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+  tri = (row < col).astype(x.dtype)
+  return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
+                             preferred_element_type=x.dtype)
+
+
+class ChunkWeights(NamedTuple):
+  a_eff: jax.Array    # (P, G) gated, clamped alpha
+  t_excl: jax.Array   # (P, G) transmittance before each point (incl carry)
+  weight: jax.Array   # (P, G) blend weight (or crossing indicator)
+  t_carry: jax.Array  # (P, 1) transmittance after the chunk
+  gate: jax.Array     # (P, G) threshold & clamp & saturation gate
+                      # (= d a_eff / d a_raw a.e., for the backward)
+
+
+def chunk_weights(pdf, point_alpha, t_carry, config: RasterConfig,
+                  blending: bool = True) -> ChunkWeights:
+  """Front-to-back weights for one chunk.
+
+  pdf: (P, G); point_alpha: (1, G) packed-alpha row; t_carry: (P, 1)
+  transmittance carried from previous chunks.
+  """
+  dtype = pdf.dtype
+  a_raw = point_alpha * pdf
+  clamp_ok = a_raw < config.clamp_max_alpha
+  a_clamped = jnp.minimum(a_raw, jnp.asarray(config.clamp_max_alpha, dtype))
+  thresh_ok = a_raw > config.alpha_threshold
+  a_eff = jnp.where(thresh_ok, a_clamped, 0)
+
+  log1m = jnp.log1p(-a_eff)
+  t_excl = t_carry * jnp.exp(exclusive_cumsum_lanes(log1m))
+  t_carry_new = t_carry * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+
+  total_before = 1 - t_excl
+  if blending:
+    sat_ok = total_before < config.saturate_threshold
+    weight = a_eff * t_excl * sat_ok
+  else:
+    # quantile/median filter (reference forward.py:109-114): emit the
+    # feature of the point whose accumulated weight crosses the level
+    c = 1 - config.saturate_threshold
+    total_after = 1 - t_excl * (1 - a_eff)
+    sat_ok = total_before < c
+    weight = ((total_before < c) & (total_after >= c)).astype(dtype)
+
+  gate = (thresh_ok & clamp_ok & sat_ok).astype(dtype)
+  return ChunkWeights(a_eff, t_excl, weight, t_carry_new, gate)
+
+
+class ChunkGrads(NamedTuple):
+  dL_da_raw: jax.Array   # (P, G) dL/d(point_alpha * pdf), gated
+  c_carry: jax.Array     # (P, 1) updated inclusive sum of w*D
+
+
+def chunk_alpha_grads(w: ChunkWeights, D, E, c_carry) -> ChunkGrads:
+  """Alpha-path gradients for one chunk (blending mode).
+
+  D: (P, G) = sum_c feature[g, c] * grad_image[p, c]; E: (P, 1) =
+  sum_c final_image * grad_image; c_carry: (P, 1) inclusive sum of w*D
+  from previous chunks. dL/dpdf = dL_da_raw * point_alpha and
+  dL/dpoint_alpha = dL_da_raw * pdf.
+  """
+  wd = w.weight * D
+  c_incl = c_carry + exclusive_cumsum_lanes(wd) + wd
+  dL_da = w.gate * (w.t_excl * D - (E - c_incl) / (1 - w.a_eff))
+  c_carry_new = c_carry + jnp.sum(wd, axis=1, keepdims=True)
+  return ChunkGrads(dL_da, c_carry_new)

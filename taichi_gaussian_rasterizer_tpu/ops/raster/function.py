@@ -1,0 +1,180 @@
+"""Differentiable rasterization API.
+
+Rebuild of /root/reference/taichi_splatting/rasterizer/function.py on
+`jax.custom_vjp`: the Pallas forward/backward kernels are stitched into a
+differentiable op; per-overlap-slot gradients are reduced to per-point
+gradients with a segment_sum keyed by the mapper's overlap_to_point (the
+TPU-native replacement for the reference's atomic accumulation ladder).
+
+Point heuristics (reference backward.py:194-198, surfaced after
+loss.backward() by mutating ctx in torch) are delivered functionally: the
+op takes a zero "heuristic sink" input (N, 2) whose *cotangent* is the
+heuristic — `jax.grad` w.r.t. the sink returns (prune_cost, split_score).
+
+Non-blending (quantile/median) rasterization is forward-only, as in the
+reference (its backward kernel only supports blending); outputs are
+wrapped in stop_gradient.
+"""
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import RasterConfig
+from ..mapper import TileMapping, map_to_tiles
+from . import tiles
+from .backward import raster_backward_pallas
+from .forward import gather_transposed, rasterize_tiles_pallas, round_up
+
+
+class RasterOut(NamedTuple):
+  image: jax.Array                        # (H, W, F)
+  image_weight: jax.Array                 # (H, W) accumulated alpha
+  point_heuristic: Optional[jax.Array]    # via heuristic-sink gradients
+  visibility: Optional[jax.Array]         # (N,) total blend weight
+
+
+def _float0_like(tree):
+  return jax.tree.map(
+      lambda x: np.zeros(x.shape, jax.dtypes.float0)
+      if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
+      else jnp.zeros_like(x), tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _raster_core(config: RasterConfig, compute_visibility: bool,
+                 points, features, heuristic_sink, mapping: TileMapping):
+  tiled, vis = rasterize_tiles_pallas(
+      points, features, mapping, config,
+      compute_visibility=compute_visibility)
+  if vis is None:
+    vis = jnp.zeros((1, mapping.overlap_to_point.shape[0]), points.dtype)
+  return tiled, vis
+
+
+def _raster_core_fwd(config, compute_visibility, points, features,
+                     heuristic_sink, mapping):
+  out = _raster_core(config, compute_visibility, points, features,
+                     heuristic_sink, mapping)
+  return out, (points, features, out[0], mapping)
+
+
+def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
+  points, features, tiled, mapping = residuals
+  g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
+
+  n, f = features.shape
+  dtype = points.dtype
+  f_pad = round_up(f + 1, 8)
+  t = tiled.shape[0]
+  p = tiled.shape[2]
+
+  compute_heuristic = config.compute_point_heuristic
+  g_tiled = g_tiled.astype(dtype)
+  grad_padded = jnp.concatenate(
+      [g_tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
+  img_padded = jnp.concatenate(
+      [tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
+  e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]  # (T,P,1)
+
+  gathered_pts, gathered_feats = gather_transposed(points, features, mapping)
+
+  gpts_slots, gfeats_slots = raster_backward_pallas(
+      gathered_pts, gathered_feats, grad_padded, e_tiles, mapping,
+      config=config, compute_point_heuristic=compute_heuristic)
+
+  otp = mapping.overlap_to_point
+  gp = jax.ops.segment_sum(gpts_slots.T, otp, num_segments=n + 1)[:n]
+  gf = jax.ops.segment_sum(gfeats_slots.T, otp, num_segments=n + 1)[:n, :f]
+
+  grad_points = gp[:, :7]
+  if compute_heuristic:
+    heuristic = gp[:, 8:10]
+  else:
+    heuristic = jnp.zeros((n, 2), dtype)
+
+  return (grad_points, gf, heuristic, _float0_like(residuals[3]))
+
+
+_raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
+
+
+def rasterize_with_tiles(
+    gaussians2d: jax.Array, features: jax.Array, mapping: TileMapping,
+    image_size: Tuple[int, int], config: RasterConfig,
+    heuristic_sink: Optional[jax.Array] = None,
+    impl: str = "pallas",
+    max_points_per_tile: Optional[int] = None,
+) -> RasterOut:
+  """Rasterize given precomputed tile mapping (reference
+  rasterizer/function.py:96-127).
+
+  Args:
+    gaussians2d: (N, 7) packed 2D gaussians
+    features: (N, F) per-point features
+    mapping: result of map_to_tiles
+    image_size: (width, height) -- static
+    config: RasterConfig -- static; `compute_visibility` /
+      `compute_point_heuristic` toggle the aux outputs
+    heuristic_sink: optional (N, 2) zeros; differentiate the loss w.r.t.
+      it to receive (prune_cost, split_score) as its "gradient"
+    impl: "pallas" (custom_vjp kernels) or "xla" (pure-XLA fallback;
+      requires max_points_per_tile, no heuristics)
+
+  Returns RasterOut. `image` and `image_weight` are differentiable wrt
+  gaussians2d and features (weight too — an extension over the
+  reference, which marks it non-differentiable).
+  """
+  n, f = features.shape
+  compute_visibility = config.compute_visibility or config.compute_point_heuristic
+
+  if impl == "xla":
+    from .xla_impl import rasterize_tiles_xla
+    assert max_points_per_tile is not None, "xla impl needs max_points_per_tile"
+    image, weight, vis = rasterize_tiles_xla(
+        gaussians2d, features, mapping, image_size, config,
+        max_points_per_tile=max_points_per_tile,
+        compute_visibility=compute_visibility)
+    return RasterOut(image, weight, None, vis)
+
+  if heuristic_sink is None:
+    heuristic_sink = jnp.zeros((n, 2), gaussians2d.dtype)
+
+  tiled, vis_slots = _raster_core(
+      config, compute_visibility, gaussians2d, features, heuristic_sink,
+      mapping)
+
+  if not config.use_alpha_blending:
+    tiled = jax.lax.stop_gradient(tiled)
+
+  image_full = tiles.tiles_to_image(
+      tiled, mapping.tile_shape, config.tile_size, image_size)
+  image = image_full[..., :f]
+  weight = image_full[..., f]
+  if not config.use_alpha_blending:
+    weight = (weight > 0).astype(weight.dtype)
+
+  visibility = None
+  if compute_visibility:
+    visibility = jax.ops.segment_sum(
+        jax.lax.stop_gradient(vis_slots[0]), mapping.overlap_to_point,
+        num_segments=n + 1)[:n]
+
+  return RasterOut(image, weight, None, visibility)
+
+
+def rasterize(gaussians2d: jax.Array, depth: jax.Array,
+              features: jax.Array, image_size: Tuple[int, int],
+              config: RasterConfig, use_depth16: bool = False,
+              capacity: Optional[int] = None,
+              **kwargs) -> RasterOut:
+  """map_to_tiles + rasterize_with_tiles (reference function.py:129-161)."""
+  assert gaussians2d.shape[0] == depth.shape[0] == features.shape[0], (
+      f"Size mismatch: {gaussians2d.shape}, {depth.shape}, {features.shape}")
+  mapping = map_to_tiles(gaussians2d, depth, image_size, config,
+                         capacity=capacity, use_depth16=use_depth16)
+  return rasterize_with_tiles(gaussians2d, features, mapping, image_size,
+                              config, **kwargs)

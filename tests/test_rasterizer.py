@@ -1,0 +1,146 @@
+"""Custom-VJP Pallas rasterizer tests (reference tests/test_rasterizer.py
+analog): float64 gradcheck of the hand-written backward against finite
+differences, equivalence against the pure-XLA implementation's autodiff
+gradients, the visibility identity, and the heuristic-sink mechanism.
+
+Scenes intentionally span multiple point chunks per tile (points_per_chunk
+= 8, up to ~50 points/tile) to catch chunk-boundary carry bugs — the class
+of bug the reference harbors at group boundaries (SURVEY.md §2.5 note).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.test_util import check_grads
+
+from taichi_gaussian_rasterizer_tpu import RasterConfig
+from taichi_gaussian_rasterizer_tpu.ops.mapper import map_to_tiles
+from taichi_gaussian_rasterizer_tpu.ops.raster import (
+    rasterize, rasterize_with_tiles)
+from taichi_gaussian_rasterizer_tpu.models.renderer2d import project_gaussians2d
+from taichi_gaussian_rasterizer_tpu.utils.random_data import random_2d_gaussians
+
+
+def scene(seed, n, image_size, num_channels=3):
+  g = random_2d_gaussians(jax.random.PRNGKey(seed), n, image_size,
+                          num_channels=num_channels, dtype=jnp.float64)
+  return project_gaussians2d(g), g.z_depth.reshape(-1), g.feature
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("antialias", [False, True])
+def test_pallas_grads_match_xla(seed, antialias):
+  image_size = (32, 24)
+  config = RasterConfig(tile_size=8, points_per_chunk=8, antialias=antialias)
+  points, depth, feats = scene(seed, 40, image_size)
+  mapping = map_to_tiles(points, depth, image_size, config)
+  key = jax.random.PRNGKey(seed + 100)
+  g_img = jax.random.normal(key, (24, 32, 3), jnp.float64)
+  g_w = jax.random.normal(key, (24, 32), jnp.float64)
+
+  def loss(pts, f, impl):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                               impl=impl, max_points_per_tile=64)
+    return jnp.sum(out.image * g_img) + jnp.sum(out.image_weight * g_w)
+
+  lp, (gp_p, gf_p) = jax.value_and_grad(
+      lambda p, f: loss(p, f, "pallas"), argnums=(0, 1))(points, feats)
+  lx, (gp_x, gf_x) = jax.value_and_grad(
+      lambda p, f: loss(p, f, "xla"), argnums=(0, 1))(points, feats)
+
+  np.testing.assert_allclose(float(lp), float(lx), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                             rtol=1e-7, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                             rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_gradcheck_fd(seed):
+  """Finite-difference check of the hand-written backward (the reference's
+  gradcheck strategy, tests/test_rasterizer.py:30-90)."""
+  image_size = (16, 16)
+  config = RasterConfig(tile_size=8, points_per_chunk=8)
+  points, depth, feats = scene(seed, 20, image_size, num_channels=2)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  def render(pts, f):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config)
+    return jnp.sum(out.image ** 2) + jnp.sum(out.image_weight)
+
+  check_grads(render, (points, feats), order=1, modes=["rev"],
+              atol=2e-4, rtol=2e-4, eps=1e-6)
+
+
+def test_visibility_identity_pallas():
+  """d(sum image)/d(features)[:, c] == forward visibility
+  (reference tests/test_visibility.py:34-64)."""
+  image_size = (48, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        compute_visibility=True)
+  points, depth, feats = scene(7, 200, image_size)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  out = rasterize_with_tiles(points, feats, mapping, image_size, config)
+
+  def total(f):
+    o = rasterize_with_tiles(points, f, mapping, image_size, config)
+    return jnp.sum(o.image)
+
+  gf = jax.grad(total)(feats)
+  np.testing.assert_allclose(np.asarray(gf[:, 0]), np.asarray(out.visibility),
+                             rtol=1e-8, atol=1e-12)
+  assert np.asarray(out.visibility).sum() > 0
+
+
+def test_heuristic_sink():
+  """Heuristics arrive as the sink input's gradient: prune cost =
+  sum_pixels (alpha_alpha_grad)^2, split score = sum |pos_grad|_1
+  (reference backward.py:194-198)."""
+  image_size = (16, 16)
+  config = RasterConfig(tile_size=8, points_per_chunk=8,
+                        compute_point_heuristic=True)
+  points, depth, feats = scene(3, 15, image_size)
+  mapping = map_to_tiles(points, depth, image_size, config)
+  sink = jnp.zeros((15, 2), jnp.float64)
+
+  def loss(pts, f, s):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                               heuristic_sink=s)
+    return jnp.sum(out.image ** 2)
+
+  gp, heur = jax.grad(loss, argnums=(0, 2))(points, feats, sink)
+
+  assert np.asarray(heur).shape == (15, 2)
+  assert (np.asarray(heur) >= 0).all()          # squared / abs sums
+  assert np.asarray(heur).sum() > 0
+  # split score upper-bounds nothing specific, but points with zero
+  # position gradient must have zero split score
+  pos_grad_mag = np.abs(np.asarray(gp)[:, 0]) + np.abs(np.asarray(gp)[:, 1])
+  assert (np.asarray(heur)[pos_grad_mag == 0, 1] == 0).all()
+
+
+def test_rasterize_one_call():
+  """rasterize = map_to_tiles + rasterize_with_tiles (function.py:129)."""
+  image_size = (32, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth, feats = scene(5, 50, image_size)
+  out = rasterize(points, depth, feats, image_size, config)
+  assert out.image.shape == (32, 32, 3)
+  assert out.image_weight.shape == (32, 32)
+  assert np.isfinite(np.asarray(out.image)).all()
+
+
+def test_median_mode_stop_gradient():
+  image_size = (16, 16)
+  config = RasterConfig(tile_size=8, use_alpha_blending=False,
+                        saturate_threshold=0.5, points_per_chunk=8)
+  points, depth, feats = scene(2, 10, image_size)
+
+  def loss(pts):
+    out = rasterize(pts, depth, feats, image_size, config)
+    return jnp.sum(out.image)
+
+  g = jax.grad(loss)(points)
+  assert (np.asarray(g) == 0).all()  # forward-only mode

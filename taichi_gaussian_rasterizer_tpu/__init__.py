@@ -14,6 +14,10 @@ from .config import RasterConfig
 from .data_types import Gaussians3D, Gaussians2D, check_packed3d, check_packed2d
 from .ops import (CameraParams, project_to_image, project_points,
                   evaluate_sh_at)
+from .ops.mapper import TileMapping, map_to_tiles
+from .ops.raster import RasterOut, rasterize, rasterize_with_tiles
+from .models import (Rendering, render_gaussians, render_projected,
+                     viewspace_gradient)
 
 __all__ = [
     "RasterConfig",
@@ -25,4 +29,13 @@ __all__ = [
     "project_to_image",
     "project_points",
     "evaluate_sh_at",
+    "TileMapping",
+    "map_to_tiles",
+    "RasterOut",
+    "rasterize",
+    "rasterize_with_tiles",
+    "Rendering",
+    "render_gaussians",
+    "render_projected",
+    "viewspace_gradient",
 ]

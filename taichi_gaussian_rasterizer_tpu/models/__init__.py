@@ -1,3 +1,12 @@
 from . import renderer2d
+from .renderer import (Rendering, render_gaussians, render_projected,
+                       compute_depth_variance, viewspace_gradient)
 
-__all__ = ["renderer2d"]
+__all__ = [
+    "renderer2d",
+    "Rendering",
+    "render_gaussians",
+    "render_projected",
+    "compute_depth_variance",
+    "viewspace_gradient",
+]

@@ -1,0 +1,66 @@
+"""Headline benchmark: full forward+backward render of a 2M-gaussian
+synthetic scene at 2048x1536 on one TPU chip, end to end (projection,
+SH-free RGB, tile mapping, Pallas rasterize, gradients w.r.t. all
+gaussian parameters).
+
+Baseline: taichi-splatting fwd+bwd @2048 geometric mean = 90.63 it/s
+(11.03 ms/frame) on an RTX 4090 (BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
+
+
+def main():
+  from taichi_gaussian_rasterizer_tpu import (
+      Gaussians3D, RasterConfig, render_gaussians)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians)
+
+  n = 2_000_000
+  image_size = (2048, 1536)
+  config = RasterConfig(tile_size=16, points_per_chunk=128)
+
+  camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
+  gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
+                                  scale_factor=1.0)
+
+  @jax.jit
+  def train_frame(gaussians, g_image):
+    def loss(g):
+      r = render_gaussians(g, camera, config)
+      return jnp.vdot(r.image, g_image)
+
+    return jax.grad(loss)(gaussians)
+
+  g_image = jax.random.normal(
+      jax.random.PRNGKey(2), (image_size[1], image_size[0], 3), jnp.float32)
+
+  # compile + warmup
+  grads = train_frame(gaussians, g_image)
+  jax.block_until_ready(grads)
+
+  iters = 20
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    grads = train_frame(gaussians, g_image)
+  jax.block_until_ready(grads)
+  ms = (time.perf_counter() - t0) / iters * 1000.0
+
+  print(json.dumps({
+      "metric": "fwd_bwd_ms_per_frame_2048px_2M_gaussians",
+      "value": round(ms, 3),
+      "unit": "ms/frame",
+      "vs_baseline": round(BASELINE_MS / ms, 4),
+  }))
+
+
+if __name__ == "__main__":
+  main()

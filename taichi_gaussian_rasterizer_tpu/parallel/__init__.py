@@ -1,0 +1,5 @@
+from .sharding import (make_mesh, replicate, shard_leading, dp_train_step,
+                       pp_project)
+
+__all__ = ["make_mesh", "replicate", "shard_leading", "dp_train_step",
+           "pp_project"]

@@ -1,0 +1,71 @@
+"""Runtime init / debug configuration.
+
+The reference's TaichiQueue layer (taichi_queue.py) owns runtime init,
+device selection, and debug plumbing; on JAX the dispatcher is already
+async and thread-safe, so only the *configuration role* survives
+(SURVEY.md §2.2): platform selection, the debug/sanitizer switches
+(reference `debug=True` -> Taichi debug arch; here nan-checking + Pallas
+interpreter mode), and profiling helpers.
+"""
+
+import contextlib
+import os
+from typing import Optional
+
+import jax
+
+
+def init(platform: Optional[str] = None, debug: bool = False,
+         enable_x64: bool = False):
+  """Configure the JAX runtime (the reference's TaichiQueue.init analog,
+  taichi_queue.py:43-50).
+
+  platform: "tpu" / "cpu" / None (keep environment default). Must be
+  called before first backend use.
+  debug: enable jax_debug_nans (the reference's Taichi debug-mode analog).
+  """
+  if platform is not None:
+    jax.config.update("jax_platforms", platform)
+  if enable_x64:
+    jax.config.update("jax_enable_x64", True)
+  jax.config.update("jax_debug_nans", debug)
+
+
+@contextlib.contextmanager
+def debug_mode():
+  """Context manager: nan checking + Pallas interpreter mode (the
+  'debug arch' for kernels; reference tests run Taichi on ti.cpu)."""
+  from jax.experimental.pallas import tpu as pltpu
+  prev = jax.config.jax_debug_nans
+  jax.config.update("jax_debug_nans", True)
+  try:
+    with pltpu.force_tpu_interpret_mode():
+      yield
+  finally:
+    jax.config.update("jax_debug_nans", prev)
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str = "/tmp/tgr_trace"):
+  """jax.profiler trace context (the torch.profiler analog, reference
+  benchmarks/util.py:6-21). View with tensorboard or xprof."""
+  jax.profiler.start_trace(log_dir)
+  try:
+    yield log_dir
+  finally:
+    jax.profiler.stop_trace()
+
+
+def check_finite(tree, name: str = "tree"):
+  """Raise if any leaf contains non-finite values (reference
+  torch_lib/util.py:5-45, called per-iteration by the trainer). Host
+  sync — use only for debugging."""
+  import jax.numpy as jnp
+  bad = {}
+  for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+    if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+      n = int(jnp.sum(~jnp.isfinite(leaf)))
+      if n:
+        bad[jax.tree_util.keystr(path)] = n
+  if bad:
+    raise ValueError(f"non-finite values in {name}: {bad}")

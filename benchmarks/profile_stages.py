@@ -1,0 +1,116 @@
+"""Stage-by-stage TPU profiling of the render pipeline with
+readback-forced timing and NaN localization. Internal tool."""
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=5):
+  r = fn(*args)
+  _ = float(jax.tree.leaves(r)[0].astype(jnp.float32).ravel()[0])
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    r = fn(*args)
+  _ = float(jax.tree.leaves(r)[0].astype(jnp.float32).ravel()[0])
+  ms = (time.perf_counter() - t0) / iters * 1000
+  return r, ms
+
+
+def finite(name, x):
+  arrs = [a for a in jax.tree.leaves(x)
+          if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)]
+  bad = [int(jnp.sum(~jnp.isfinite(a))) for a in arrs]
+  status = "OK" if sum(bad) == 0 else f"NONFINITE {bad}"
+  print(f"  [{name}] {status}")
+  return sum(bad) == 0
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--n", type=int, default=1_000_000)
+  p.add_argument("--size", type=int, default=2048)
+  p.add_argument("--iters", type=int, default=5)
+  p.add_argument("--capacity_factor", type=int, default=4)
+  p.add_argument("--cpu", action="store_true")
+  p.add_argument("--check", action="store_true", help="finiteness checks")
+  p.add_argument("--depth16", action="store_true")
+  args = p.parse_args()
+  if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+  from taichi_gaussian_rasterizer_tpu import (RasterConfig, map_to_tiles,
+                                              project_to_image)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import (
+      gather_combined, rasterize_tiles_pallas, round_up)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.backward import (
+      raster_backward_pallas)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      reduce_slots_by_point)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians)
+
+  n = args.n
+  image_size = (args.size, args.size * 3 // 4)
+  config = RasterConfig(tile_size=16, points_per_chunk=128)
+  capacity = args.capacity_factor * n
+
+  camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
+  g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
+
+  proj = jax.jit(partial(project_to_image, config=config))
+  (pts, depth, iv), ms = timeit(proj, g, camera, iters=args.iters)
+  print(f"projection fwd: {ms:.2f} ms  in_view={int(iv.sum())}")
+  if args.check:
+    finite("projection", (pts, depth))
+
+  mapper = jax.jit(partial(map_to_tiles, image_size=image_size,
+                           config=config, capacity=capacity,
+                           use_depth16=args.depth16))
+  mapping, ms = timeit(mapper, pts, depth[:, 0], iters=args.iters)
+  print(f"mapper: {ms:.2f} ms  overlaps={int(mapping.total_overlaps)} "
+        f"overflow={bool(mapping.overflow)} "
+        f"k_pad={mapping.overlap_to_point.shape[0]}")
+
+  gathered, ms = timeit(lambda p, f: gather_combined(p, f, mapping),
+                        pts, g.feature, iters=args.iters)
+  print(f"combined gather: {ms:.2f} ms")
+
+  (tiled, _), ms = timeit(lambda p, f: rasterize_tiles_pallas(
+      p, f, mapping, config), pts, g.feature, iters=args.iters)
+  print(f"raster fwd (incl gather): {ms:.2f} ms")
+  if args.check:
+    finite("raster fwd", tiled)
+
+  f = g.feature.shape[1]
+  f_pad = round_up(f + 1, 8)
+  t_tiles = tiled.shape[0]
+  p_px = tiled.shape[2]
+  key = jax.random.PRNGKey(3)
+  grad_padded = jnp.concatenate([
+      jax.random.normal(key, (t_tiles, f + 1, p_px), jnp.float32),
+      jnp.zeros((t_tiles, f_pad - f - 1, p_px), jnp.float32)], axis=1)
+  img_padded = jnp.concatenate(
+      [tiled, jnp.zeros((t_tiles, f_pad - f - 1, p_px), jnp.float32)],
+      axis=1)
+  e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]
+
+  gout, ms = timeit(
+      lambda a, b, c: raster_backward_pallas(a, b, c, mapping,
+                                             config=config),
+      gathered, grad_padded, e_tiles, iters=args.iters)
+  print(f"raster bwd kernel: {ms:.2f} ms")
+  if args.check:
+    finite("raster bwd", gout)
+
+  red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
+  _, ms = timeit(red, gout, iters=args.iters)
+  print(f"point reduction ({gout.shape[0]} rows): {ms:.2f} ms")
+
+
+if __name__ == "__main__":
+  main()

@@ -60,6 +60,12 @@ class RasterConfig:
   # gaussians staged per VMEM chunk inside raster kernels; tile bins are
   # padded to a multiple of this
   points_per_chunk: int = 128
+  # break the forward chunk loop once every pixel saturates. The
+  # reference's blending forward never actually exits early
+  # (forward.py:107-114 only sets `saturated` in non-blending mode), and
+  # the data-dependent loop condition costs more than it saves on TPU
+  # for typical occupancies, so this is off by default.
+  saturation_early_exit: bool = False
 
   def replace(self, **kwargs) -> "RasterConfig":
     return replace(self, **kwargs)

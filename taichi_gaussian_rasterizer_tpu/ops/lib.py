@@ -128,7 +128,11 @@ def eig(cov):
   a, b, c = cov[..., 0], cov[..., 1], cov[..., 2]
   tr = a + c
   det = a * c - b * b
-  gap = jnp.maximum(tr * tr - 4 * det, 0.0)
+  # relative floor keeps d(sqrt)/d(gap) finite at repeated eigenvalues
+  # (isotropic gaussians), where the eigenvector is ill-defined anyway;
+  # the forward perturbation is O(1e-6 * tr)
+  gap_floor = 1e-12 * tr * tr + 1e-36
+  gap = jnp.maximum(tr * tr - 4 * det, gap_floor)
   sqrt_gap = jnp.sqrt(gap)
   lam1 = (tr + sqrt_gap) * 0.5
   lam2 = (tr - sqrt_gap) * 0.5
@@ -242,8 +246,18 @@ def project_with_jacobian(position, camera_t_world, projection, image_size,
   f = projection[..., 0:2]
   c = projection[..., 2:4]
 
-  homog = jnp.concatenate([position, jnp.ones_like(position[..., :1])], axis=-1)
-  in_camera = jnp.einsum("...ij,...j->...i", camera_t_world, homog)
+  if camera_t_world.ndim == 2:
+    # unbatched camera: unrolled affine transform (broadcasted scalar ops
+    # fuse on the VPU; a batched (N,4)x(4,3) matmul would waste the MXU)
+    T = camera_t_world
+    in_camera = jnp.stack(
+        [position[..., 0] * T[i, 0] + position[..., 1] * T[i, 1]
+         + position[..., 2] * T[i, 2] + T[i, 3] for i in range(3)],
+        axis=-1)
+  else:
+    homog = jnp.concatenate(
+        [position, jnp.ones_like(position[..., :1])], axis=-1)
+    in_camera = jnp.einsum("...ij,...j->...i", camera_t_world, homog)
 
   z = in_camera[..., 2]
   uv = f * in_camera[..., 0:2] / z[..., None] + c
@@ -260,12 +274,27 @@ def project_with_jacobian(position, camera_t_world, projection, image_size,
 
 def gaussian_covariance_in_image(camera_t_world, cov_rotation, cov_scale, J):
   """EWA projected covariance: m = J W (R S); cov = m m^T
-  (generic.py:125-143). Returns upper-triangular vec3."""
+  (generic.py:125-143). Returns upper-triangular vec3.
+
+  Unrolled to elementwise ops over the batch: batched 2x3 * 3x3 einsums
+  lower to tiny MXU matmuls with ~2% utilization; as scalar vector math
+  the whole chain stays on the VPU and fuses."""
   W = camera_t_world[..., :3, :3]
   RS = scaled_quat_to_mat(cov_rotation, cov_scale)
-  m = jnp.einsum("...ij,...jk,...kl->...il", J, W, RS)
-  cov = jnp.einsum("...ik,...jk->...ij", m, m)
-  return upper(cov)
+  # jw[..., i, k] = sum_j J[..., i, j] * W[j, k]  (W unbatched or batched)
+  jw = jnp.einsum("...ij,...jk->...ik", J, W) if W.ndim > 2 else None
+  if jw is None:
+    jw = jnp.stack([
+        jnp.stack([sum(J[..., i, j] * W[j, k] for j in range(3))
+                   for k in range(3)], axis=-1)
+        for i in range(2)], axis=-2)
+  # m[..., i, l] = sum_k jw[..., i, k] * RS[..., k, l]
+  m = [[sum(jw[..., i, k] * RS[..., k, l] for k in range(3))
+        for l in range(3)] for i in range(2)]
+  a = m[0][0] * m[0][0] + m[0][1] * m[0][1] + m[0][2] * m[0][2]
+  b = m[0][0] * m[1][0] + m[0][1] * m[1][1] + m[0][2] * m[1][2]
+  c = m[1][0] * m[1][0] + m[1][1] * m[1][1] + m[1][2] * m[1][2]
+  return jnp.stack([a, b, c], axis=-1)
 
 
 def project_gaussian(camera_t_world, projection, image_size, position,

@@ -1,33 +1,37 @@
 """Tile mapper: bin projected 2D gaussians into depth-sorted per-tile lists.
 
 TPU-native rebuild of /root/reference/taichi_splatting/mapper/tile_mapper.py
-and the CUB device primitives it wraps (cuda_lib/). The pipeline role is the
-same — count overlaps, scan, emit (tile, depth) keys, sort, find per-tile
-ranges (tile_mapper.py:168-196) — but every stage is re-designed for static
-shapes and XLA:
+and the CUB device primitives it wraps (cuda_lib/). The pipeline role is
+the same — count overlaps, emit (tile, depth) keys, sort, find per-tile
+ranges (tile_mapper.py:168-196) — but the implementation is designed
+around what is actually fast on TPU (wide vector ops, sorts, cumsums,
+tiny scatters) and avoids what is slow (large scatters, narrow gathers):
 
 * No host round-trip for the overlap total (the reference syncs the
-  `full_cumsum` grand total to the host to size buffers,
-  cuda_lib/full_cumsum.cu:41-46): a static `capacity` bounds the overlap
-  list, invalid slots carry sentinel keys that sort to the end, and the
-  dynamic total is returned as a device scalar for overflow checks.
-* No per-gaussian dynamic loops (tile_mapper.py:134): candidate tiles are
-  enumerated statically. To avoid paying the worst-case footprint for
-  every gaussian, gaussians are partitioned by footprint size into
-  power-of-4 buckets with a counting sort, and each bucket only
-  enumerates its own candidate budget (4 / 16 / 64 / 256 candidates).
-* OBB/SAT culling (taichi_lib/grid_query.py:30-70) is applied per
-  candidate; rejected candidates emit sentinel keys (they cost sort slots
-  but never affect the image, since the rasterizer's alpha gate makes
-  off-tile gaussians exact no-ops).
+  `full_cumsum` grand total to host to size buffers,
+  cuda_lib/full_cumsum.cu:41-46): shapes are static, a `capacity` bounds
+  the *binned* overlap list, and overflow is reported as a device flag.
+* No per-gaussian dynamic loops (tile_mapper.py:134): candidate tiles
+  are enumerated statically. Gaussians are bucketed by footprint size
+  (a counting-sort permutation) so most pay a 4-candidate budget and only
+  static tails pay 16/64/256.
+* The candidate stream is sorted *directly* — no offsets/cumsum/scatter
+  compaction: SAT-rejected and out-of-span candidates carry sentinel
+  keys and sort to the end. (OBB/SAT culling per grid_query.py:30-70;
+  rejected pairs can never affect the image because of the rasterizer's
+  alpha gate.)
 * CUB radix_sort_pairs (end_bit=48, tile_mapper.py:154) becomes
   `jax.lax.sort`: lexicographic (tile, depth) 32-bit keys, or a single
   packed u32 key in depth16 mode (tile_mapper.py:52-64).
-* find_ranges boundary detection (tile_mapper.py:90-110) becomes a
-  vectorized `searchsorted` over sorted tile ids.
-* Tile ranges are re-laid out so each tile's bin starts on a
-  `points_per_chunk` boundary and is padded with sentinel entries: the
-  Pallas raster kernels then stream whole chunks with no bounds masking.
+* Ranges via vectorized `searchsorted` on the sorted tile ids.
+* The chunk-aligned padded bin layout (each tile's bin starts on a
+  `points_per_chunk` boundary; gaps hold sentinel entries) is built with
+  a *gather*: per-slot tile ids come from a T-sized indicator scatter +
+  cumsum, never a K-sized scatter.
+* The mapping also carries a point-major permutation of the overlap list
+  plus per-point segment offsets — the gradient reduction in the raster
+  backward uses these for a sorted prefix-sum reduction instead of a
+  (TPU-hostile) scatter-add segment_sum.
 """
 
 import math
@@ -44,12 +48,13 @@ from . import lib
 TILE_SENTINEL = jnp.iinfo(jnp.int32).max
 
 # candidate budgets per footprint bucket (tiles per gaussian enumerated)
-_BUDGETS = (4, 16, 64, 256)
-# For large N, rounds 1..3 only process a static tail of the
+_BUDGETS = (2, 4, 16, 64, 256)
+# For large N, later rounds only process a static tail of the
 # footprint-sorted order (gaussians beyond it get cropped + flagged);
 # for small N every round covers everything — the work is negligible.
-_SMALL_N = 65536
-_TAIL_FRACTIONS = (1.0, 1.0 / 4, 1.0 / 32, 1.0 / 256)
+_SMALL_N = 4096
+_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 8, 1.0 / 32, 1.0 / 256)
+_N_ROUNDS = len(_BUDGETS)
 
 
 def _tail_size(n: int, r: int) -> int:
@@ -58,11 +63,11 @@ def _tail_size(n: int, r: int) -> int:
   return min(n, int(math.ceil(n * _TAIL_FRACTIONS[r])))
 
 
-def cdiv(a: int, b: int) -> int:
+def cdiv(a, b):
   return -(-a // b)
 
 
-def round_up(a: int, b: int) -> int:
+def round_up(a, b):
   return cdiv(a, b) * b
 
 
@@ -77,12 +82,10 @@ def num_tiles(image_size: Tuple[int, int], tile_size: int) -> Tuple[int, int]:
 
 
 def default_capacity(n: int, image_size: Tuple[int, int],
-                     tile_size: int, factor: float = 8.0) -> int:
-  """Heuristic static overlap capacity; callers can override and use the
-  returned `total_overlaps` to resize (recompile) on overflow."""
+                     tile_size: int, factor: float = 4.0) -> int:
+  """Heuristic static capacity for the binned overlap list; callers can
+  override and use `total_overlaps` to resize (recompile) on overflow."""
   tw, th = num_tiles(image_size, tile_size)
-  # tiny scenes (2D toys, tests) have per-gaussian footprints spanning many
-  # tiles; give them a generous per-gaussian budget instead of a factor
   small = n * 64 if n <= 4096 else 0
   return int(round_up(max(int(n * factor), 4 * tw * th, small, 1024), 1024))
 
@@ -92,19 +95,25 @@ class TileMapping:
   """Result of map_to_tiles.
 
   The overlap list layout is 'chunk-aligned padded': each tile's bin
-  occupies [tile_ranges[t,0], tile_ranges[t,1]) and its start is aligned
-  to `points_per_chunk`; slots outside every bin hold `point_sentinel`
-  (== N), which indexes a zero-alpha padding row that rasterizer kernels
-  treat as a no-op.
+  occupies [tile_ranges[t,0], tile_ranges[t,1]) with its start aligned to
+  `points_per_chunk`; slots outside every bin hold `point_sentinel`
+  (== N), indexing a zero-alpha padding row that the raster kernels treat
+  as an exact no-op.
+
+  point_perm / point_offsets support the gradient reduction: ordering the
+  overlap slots by point_perm groups them by original point index, with
+  point i's group at [point_offsets[i], point_offsets[i+1]) (sentinel
+  slots group at the end).
   """
   overlap_to_point: jax.Array  # (K_pad,) int32, point index or N (sentinel)
   tile_ranges: jax.Array       # (TH*TW, 2) int32 [start, end) per tile
   tile_shape: Tuple[int, int]  # (TH, TW) -- static
-  total_overlaps: jax.Array    # () int32: true number of (gaussian, tile)
-                               # pairs emitted (before sentinel padding)
-  overflow: jax.Array          # () bool: capacity exceeded or footprint
+  total_overlaps: jax.Array    # () int32 number of real (point, tile) pairs
+  overflow: jax.Array          # () bool: capacity exceeded / footprint
                                # cropped -- results valid but incomplete
   point_sentinel: int          # == N (static)
+  point_perm: jax.Array        # (K_pad,) int32 slot order grouped by point
+  point_offsets: jax.Array     # (N+1,) int32 segment starts in perm order
 
   @property
   def tile_ranges_2d(self) -> jax.Array:
@@ -114,24 +123,20 @@ class TileMapping:
 
 jax.tree_util.register_dataclass(
     TileMapping,
-    data_fields=["overlap_to_point", "tile_ranges", "total_overlaps", "overflow"],
+    data_fields=["overlap_to_point", "tile_ranges", "total_overlaps",
+                 "overflow", "point_perm", "point_offsets"],
     meta_fields=["tile_shape", "point_sentinel"])
 
 
 def _footprint(points: jax.Array, image_size, tile_size: int,
                alpha_threshold: float, max_span: int):
   """Per-gaussian tile-footprint and OBB data (grid_query.py:72-91).
-
-  Returns (min_tile (N,2) i32, span (N,2) i32, inv_basis rows (N,2,2)).
-  Invalid gaussians (alpha below threshold) get span 0.
-  """
+  Invalid gaussians (alpha below threshold) get span 0."""
   mean, axis, sigma, alpha = lib.unpack_g2d(points)
-  dtype = points.dtype
 
   valid = alpha > alpha_threshold
   gs = lib.gaussian_scale_factor(alpha, alpha_threshold)
-  radii = sigma * gs[:, None]                       # (N, 2) scaled extents
-  # guard: zero radii would make inv_basis inf
+  radii = sigma * gs[:, None]
   safe_radii = jnp.maximum(radii, 1e-12)
 
   u1 = axis * radii[:, 0:1]
@@ -150,53 +155,43 @@ def _footprint(points: jax.Array, image_size, tile_size: int,
   span = jnp.clip(raw_span, 0, max_span)
   clipped = jnp.any(raw_span > max_span)
 
-  # image->ellipse transform rows (for the SAT test): row_i = axis_i / radius_i
   inv_basis = jnp.stack(
-      [axis / safe_radii[:, 0:1], lib.perp(axis) / safe_radii[:, 1:2]], axis=1)
+      [axis / safe_radii[:, 0:1], lib.perp(axis) / safe_radii[:, 1:2]],
+      axis=1)
   return min_tile, span, inv_basis, mean, clipped
 
 
 def _sat_accept(rel_lower, inv_basis, tile_size):
   """Oriented-ellipse vs tile-AABB separating-axis test
-  (grid_query.py:29-43). rel_lower: (..., 2) tile lower corner relative to
-  the gaussian mean; inv_basis: (..., 2, 2). True = overlaps."""
-  # corners of the tile AABB relative to mean
+  (grid_query.py:29-43). True = overlaps."""
   c00 = rel_lower
   c11 = rel_lower + tile_size
   c01 = jnp.stack([c00[..., 0], c11[..., 1]], axis=-1)
   c10 = jnp.stack([c11[..., 0], c00[..., 1]], axis=-1)
   corners = jnp.stack([c00, c01, c10, c11], axis=-2)     # (..., 4, 2)
-  # project corners into ellipse space: (..., 2(row), 4(corner))
   local = jnp.einsum("...ij,...cj->...ic", inv_basis, corners)
   mn = local.min(axis=-1)
   mx = local.max(axis=-1)
-  separated = jnp.any((mn > 1.0) | (mx < -1.0), axis=-1)
-  return ~separated
+  return ~jnp.any((mn > 1.0) | (mx < -1.0), axis=-1)
 
 
 def _partition_by_bucket(p: jax.Array):
-  """Counting-sort permutation grouping gaussians by footprint bucket
-  (ascending). p: (N,) footprint tile counts. Returns perm (N,) such that
-  gathered arrays are bucket-contiguous."""
+  """Permutation grouping gaussians by footprint bucket (ascending),
+  via one small 2-operand sort."""
+  n = p.shape[0]
   bucket = jnp.sum((p[:, None] > jnp.asarray(_BUDGETS[:-1], p.dtype)),
-                   axis=1).astype(jnp.int32)             # (N,) in [0,3]
-  onehot = jax.nn.one_hot(bucket, 4, dtype=jnp.int32)    # (N, 4)
-  within = jnp.cumsum(onehot, axis=0) - onehot           # exclusive rank
-  base = jnp.concatenate(
-      [jnp.zeros((1,), jnp.int32), jnp.cumsum(jnp.sum(onehot, axis=0))[:-1]])
-  dst = base[bucket] + within[jnp.arange(p.shape[0]), bucket]
-  perm = jnp.zeros_like(dst).at[dst].set(jnp.arange(p.shape[0], dtype=jnp.int32))
+                   axis=1).astype(jnp.int32)
+  _, perm = jax.lax.sort(
+      (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
   return perm
 
 
-def _emittable_budget(n: int) -> jnp.ndarray:
-  """Static per-sorted-position candidate budget: position q gets budget
-  _BUDGETS[r] where r is the largest round whose static tail covers q."""
-  q = jnp.arange(n, dtype=jnp.int32)
-  budget = jnp.full((n,), _BUDGETS[0], jnp.int32)
-  for r in range(1, 4):
-    budget = jnp.where(q >= n - _tail_size(n, r), _BUDGETS[r], budget)
-  return budget
+def _segment_ids_from_starts(starts: jax.Array, length: int) -> jax.Array:
+  """Per-slot segment id from ascending segment starts: a tiny scatter of
+  T ones + a cumsum (never a length-sized scatter)."""
+  ind = jnp.zeros((length + 1,), jnp.int32).at[starts].add(
+      1, mode="drop")
+  return jnp.cumsum(ind[:length]) - 1
 
 
 @partial(jax.jit, static_argnames=("image_size", "config", "capacity",
@@ -214,12 +209,10 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       depth16 mode additionally assumes depth in [0, 1]
     image_size: (width, height) -- static
     config: RasterConfig -- static
-    capacity: static overlap-list capacity; None -> heuristic
+    capacity: static bound on the number of *binned* overlaps; None ->
+      heuristic (default_capacity)
     use_depth16: quantize depth to 16 bits and sort a single packed u32
       key (the reference's halved-sort-cost mode, tile_mapper.py:47-64)
-
-  Returns:
-    TileMapping (chunk-aligned padded layout; see class docstring).
   """
   n = points.shape[0]
   if depth.ndim == 2:
@@ -233,38 +226,42 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   if capacity is None:
     capacity = default_capacity(n, image_size, tile_size)
 
-  min_tile, span, inv_basis, mean, span_clipped = _footprint(
+  # footprint sizes on the original order (for the bucket keys only)
+  _, span0, _, _, span_clipped = _footprint(
       points, image_size, tile_size, config.alpha_threshold,
       config.max_tile_span)
-  p = (span[:, 0] * span[:, 1]).astype(jnp.int32)   # footprint tile count
+  p0 = (span0[:, 0] * span0[:, 1]).astype(jnp.int32)
+  perm = _partition_by_bucket(p0)
 
-  # ---- partition by footprint bucket (counting sort) ----
-  perm = _partition_by_bucket(p)
-  p_s = p[perm]
-  budget_s = _emittable_budget(n)
-  counts = jnp.minimum(p_s, budget_s)               # emitted per gaussian
-  cropped = jnp.any(counts < p_s) | span_clipped
+  # one combined (N, 8) gather of everything emission needs; footprint
+  # data is recomputed elementwise on the permuted rows (cheaper than
+  # permuting many narrow arrays — gathers pay per row, compute is free)
+  pts_depth = jnp.concatenate([points, depth[:, None]], axis=1)  # (N, 8)
+  pts_depth_s = jnp.take(pts_depth, perm, axis=0)
+  points_s = pts_depth_s[:, :7]
+  depth_s = pts_depth_s[:, 7]
 
-  offsets = jnp.cumsum(counts) - counts             # exclusive
-  total = jnp.sum(counts)
-  overflow = cropped | (total > capacity)
+  min_tile_s, span_s, inv_basis_s, mean_s, _ = _footprint(
+      points_s, image_size, tile_size, config.alpha_threshold,
+      config.max_tile_span)
+  p_s = (span_s[:, 0] * span_s[:, 1]).astype(jnp.int32)
+  counts_budgeted = jnp.minimum(p_s, _emittable_budget(n))
+  cropped = jnp.any(counts_budgeted < p_s) | span_clipped
 
-  min_tile_s = min_tile[perm]
-  span_s = span[perm]
-  inv_basis_s = inv_basis[perm]
-  mean_s = mean[perm]
-  depth_s = depth[perm]
+  # ---- emit the candidate stream (static size; sentinels for invalid) ----
+  # each candidate carries (tile key, depth key, original point index) by
+  # row broadcast — contiguous slices, never gathers
+  if use_depth16:
+    d16_s = (jnp.clip(depth_s, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
 
-  # ---- emit candidate (slot, tile, point) triples, all rounds fused ----
   def emit(lo_q, j_lo, j_hi):
-    """Candidates j in [j_lo, j_hi) for sorted positions [lo_q, n)."""
     idx = jnp.arange(lo_q, n, dtype=jnp.int32)
     j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
 
-    sx = span_s[idx, 0][:, None]                     # (m, 1)
+    sx = span_s[idx, 0][:, None]
     jy = jnp.where(sx > 0, j[None, :] // jnp.maximum(sx, 1), 0)
     jx = jnp.where(sx > 0, j[None, :] % jnp.maximum(sx, 1), 0)
-    in_span = j[None, :] < counts[idx][:, None]      # (m, J)
+    in_span = j[None, :] < counts_budgeted[idx][:, None]
 
     tx = min_tile_s[idx, 0][:, None] + jx
     ty = min_tile_s[idx, 1][:, None] + jy
@@ -272,94 +269,103 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
 
     rel_lower = (jnp.stack([tx, ty], axis=-1) * tile_size
                  - mean_s[idx][:, None, :]).astype(points.dtype)
-    accept = _sat_accept(rel_lower, inv_basis_s[idx][:, None, :, :], tile_size)
+    accept = in_span & _sat_accept(
+        rel_lower, inv_basis_s[idx][:, None, :, :], tile_size)
 
-    slots = offsets[idx][:, None] + j[None, :]
-    slots = jnp.where(in_span, slots, capacity)      # drop out-of-span
+    orig = perm[lo_q:][:, None].astype(jnp.int32)
+    pv = jnp.where(accept, jnp.broadcast_to(orig, tile_id.shape), n)
+    acc_count = jnp.sum(accept, axis=1).astype(jnp.int32)
+
+    if use_depth16:
+      key = (jnp.where(accept, tile_id.astype(jnp.uint32),
+                       jnp.uint32(0xFFFF)) << 16) | d16_s[lo_q:][:, None]
+      return (key.ravel(),), pv.ravel(), acc_count
     tk = jnp.where(accept, tile_id, TILE_SENTINEL)
-    pv = jnp.where(accept, jnp.broadcast_to(idx[:, None], tk.shape), n)
-    return slots.ravel(), tk.ravel(), pv.ravel()
+    dk = jnp.broadcast_to(depth_s[lo_q:][:, None], tk.shape)
+    return (tk.ravel(), dk.ravel()), pv.ravel(), acc_count
 
-  parts = []
+  key_parts, pv_parts = [], []
+  accepted_s = jnp.zeros((n,), jnp.int32)
   j_edges = (0,) + _BUDGETS
-  for r in range(4):
+  for r in range(_N_ROUNDS):
     tail = _tail_size(n, r)
     if tail == 0 or j_edges[r] >= j_edges[r + 1]:
       continue
-    parts.append(emit(n - tail, j_edges[r], j_edges[r + 1]))
+    keys, pv, acc = emit(n - tail, j_edges[r], j_edges[r + 1])
+    key_parts.append(keys)
+    pv_parts.append(pv)
+    accepted_s = accepted_s.at[n - tail:].add(acc)
 
-  all_slots = jnp.concatenate([p[0] for p in parts]) if parts else (
-      jnp.zeros((0,), jnp.int32))
-  all_tiles = jnp.concatenate([p[1] for p in parts]) if parts else (
-      jnp.zeros((0,), jnp.int32))
-  all_pvs = jnp.concatenate([p[2] for p in parts]) if parts else (
-      jnp.zeros((0,), jnp.int32))
-
-  tile_key = jnp.full((capacity,), TILE_SENTINEL, jnp.int32)
-  point_val = jnp.full((capacity,), n, jnp.int32)
-  tile_key = tile_key.at[all_slots].set(all_tiles, mode="drop")
-  point_val = point_val.at[all_slots].set(all_pvs, mode="drop")
-
-  # depth keys by gather from the sorted-position depths (sentinel -> inf)
+  cand_pos = jnp.concatenate(pv_parts)       # original point index or n
   if use_depth16:
-    d16 = (jnp.clip(depth_s, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
-    depth_ext = jnp.concatenate([d16, jnp.asarray([0xFFFF], jnp.uint32)])
+    packed = jnp.concatenate([k[0] for k in key_parts])
+    packed, cand_pos = jax.lax.sort((packed, cand_pos), num_keys=1,
+                                    is_stable=True)
+    sorted_tiles = jnp.where(packed >= jnp.uint32(0xFFFF0000), TILE_SENTINEL,
+                             (packed >> 16).astype(jnp.int32))
   else:
-    inf = jnp.asarray([jnp.inf], depth_s.dtype)
-    depth_ext = jnp.concatenate([depth_s, inf])
-  depth_key = depth_ext[point_val]
+    cand_tiles = jnp.concatenate([k[0] for k in key_parts])
+    cand_depth = jnp.concatenate([k[1] for k in key_parts])
+    sorted_tiles, _, cand_pos = jax.lax.sort(
+        (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=True)
 
-  # point_val currently holds *sorted-order* positions; map back to
-  # original indices (sentinel n maps to n)
-  perm_ext = jnp.concatenate(
-      [perm.astype(jnp.int32), jnp.asarray([n], jnp.int32)])
-  point_val = perm_ext[point_val]
-
-  # ---- sort by (tile, depth) ----
-  if use_depth16:
-    packed = (tile_key.astype(jnp.uint32) << 16) | depth_key
-    packed = jnp.where(tile_key == TILE_SENTINEL, jnp.uint32(0xFFFFFFFF),
-                       packed)
-    packed, point_val = jax.lax.sort((packed, point_val), num_keys=1,
-                                     is_stable=True)
-    sorted_tiles = jnp.where(
-        packed == jnp.uint32(0xFFFFFFFF), TILE_SENTINEL,
-        (packed >> 16).astype(jnp.int32))
-  else:
-    sorted_tiles, _, point_val = jax.lax.sort(
-        (tile_key, depth_key, point_val), num_keys=2, is_stable=True)
-
-  # ---- per-tile ranges via binary search ----
+  # ---- per-tile ranges in the sorted candidate stream ----
   tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-  starts = jnp.searchsorted(sorted_tiles, tile_ids, side="left").astype(jnp.int32)
-  ends = jnp.searchsorted(sorted_tiles, tile_ids, side="right").astype(jnp.int32)
+  starts = jnp.searchsorted(sorted_tiles, tile_ids,
+                            side="left").astype(jnp.int32)
+  ends = jnp.searchsorted(sorted_tiles, tile_ids,
+                          side="right").astype(jnp.int32)
   tile_counts = ends - starts
+  total = ends[-1] - jnp.where(n_tiles > 0, starts[0], 0)
+  total = jnp.sum(tile_counts)
 
-  # ---- chunk-aligned padded relayout ----
-  padded_counts = (cdiv_arr(tile_counts, chunk)) * chunk
+  # ---- chunk-aligned padded layout via gather ----
+  padded_counts = cdiv(tile_counts, chunk) * chunk
   padded_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
-  k_pad = round_up(capacity, chunk) + n_tiles * chunk   # static bound
+  k_pad = int(round_up(capacity, chunk) + n_tiles * chunk)
+  overflow = cropped | (jnp.sum(padded_counts) > k_pad)
 
-  pos = jnp.arange(capacity, dtype=jnp.int32)
-  valid_entry = sorted_tiles != TILE_SENTINEL
-  t_of = jnp.clip(sorted_tiles, 0, n_tiles - 1)
-  dst = padded_starts[t_of] + (pos - starts[t_of])
-  dst = jnp.where(valid_entry, dst, k_pad)              # drop sentinels
+  t_of_slot = _segment_ids_from_starts(
+      jnp.minimum(padded_starts, k_pad), k_pad)          # (K_pad,)
+  t_of_slot = jnp.clip(t_of_slot, 0, n_tiles - 1)
+  within = jnp.arange(k_pad, dtype=jnp.int32) - padded_starts[t_of_slot]
+  src = starts[t_of_slot] + within
+  live = within < tile_counts[t_of_slot]
 
-  overlap_to_point = jnp.full((k_pad,), n, jnp.int32)
-  overlap_to_point = overlap_to_point.at[dst].set(point_val, mode="drop")
+  pos_ext = jnp.concatenate([cand_pos, jnp.asarray([n], jnp.int32)])
+  src = jnp.where(live, src, cand_pos.shape[0])
+  overlap_to_point = pos_ext[src]            # original point indices
 
   tile_ranges = jnp.stack(
-      [padded_starts, padded_starts + tile_counts], axis=1)
+      [jnp.minimum(padded_starts, k_pad),
+       jnp.minimum(padded_starts + tile_counts, k_pad)], axis=1)
+
+  # ---- point-major permutation + offsets for gradient reduction ----
+  _, point_perm = jax.lax.sort(
+      (overlap_to_point, jnp.arange(k_pad, dtype=jnp.int32)), num_keys=1,
+      is_stable=True)
+  # accepted counts per original point: invert the bucket permutation
+  counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(accepted_s)
+  point_offsets = jnp.concatenate(
+      [jnp.zeros((1,), jnp.int32),
+       jnp.cumsum(counts_orig).astype(jnp.int32)])
 
   return TileMapping(
       overlap_to_point=overlap_to_point,
       tile_ranges=tile_ranges,
       tile_shape=(th, tw),
-      total_overlaps=jnp.sum(valid_entry.astype(jnp.int32)),
+      total_overlaps=total,
       overflow=overflow,
-      point_sentinel=n)
+      point_sentinel=n,
+      point_perm=point_perm,
+      point_offsets=point_offsets)
 
 
-def cdiv_arr(a, b: int):
-  return -(-a // b)
+def _emittable_budget(n: int) -> jnp.ndarray:
+  """Static per-sorted-position candidate budget: position q gets budget
+  _BUDGETS[r] for the largest round r whose static tail covers q."""
+  q = jnp.arange(n, dtype=jnp.int32)
+  budget = jnp.full((n,), _BUDGETS[0], jnp.int32)
+  for r in range(1, _N_ROUNDS):
+    budget = jnp.where(q >= n - _tail_size(n, r), _BUDGETS[r], budget)
+  return budget

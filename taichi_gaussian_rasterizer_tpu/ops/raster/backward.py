@@ -12,19 +12,29 @@ in the reference's profile). Differences by design:
   E is precomputed outside the kernel as a (T, P, 1) input so the kernel
   never transposes.
 * No atomics anywhere (reference: warp shuffle -> shared-memory atomic ->
-  global atomic, backward.py:204-228): each tile DMAs its per-overlap-slot
-  gradients to a private range of a (rows, K_pad) buffer; a segment_sum
-  keyed by overlap_to_point reduces them to per-point gradients outside.
-* The alpha/weight image is differentiable too (the reference marks
+  global atomic, backward.py:204-228): each tile DMAs one combined
+  gradient block per chunk — point-parameter rows, optional heuristic
+  rows, then feature rows — to a private range of a (rows, K_pad)
+  buffer; a point-sorted prefix reduction (function.py) turns the
+  per-slot gradients into per-point gradients.
+* Gradients flow to the alpha/weight image as well (the reference marks
   image_alpha non-differentiable, function.py:72): the gathered feature
-  buffer carries a virtual all-ones channel at row F, so the alpha image
-  is just another blended channel in both the forward matmul and D.
+  rows carry a virtual all-ones channel at row F, so the alpha image is
+  just another blended channel in D.
 * The per-point heuristics (prune cost = sum of squared alpha-gradients,
   split score = l1 norm of the position gradient; backward.py:194-198)
   are emitted as two extra gradient rows when enabled.
-* No saturation early-exit (yet): every chunk's gradient slots must be
-  written since the slot buffer has no other initialization. Saturation
-  gates make post-saturation gradients exactly zero.
+* No saturation early-exit: every chunk's gradient slots must be written
+  (the slot buffer has no other initialization), and saturation gates
+  make post-saturation gradients exactly zero.
+
+Per-slot gradient row layout (R = pt_rows + F_pad):
+  rows [0..6]  packed point-parameter gradients
+  row  [7]     zero (alignment)
+  rows [8..9]  (prune_cost, split_score) when compute_point_heuristic,
+               then zeros to row 15
+  rows [pt_rows..]  feature gradients (row F = alpha-channel pseudo-grad,
+               dropped outside)
 """
 
 import functools
@@ -40,19 +50,23 @@ from . import blend
 from .forward import cdiv_i32, use_interpret
 
 
+def grad_rows(f_pad: int, compute_point_heuristic: bool) -> int:
+  return (16 if compute_point_heuristic else 8) + f_pad
+
+
 def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
                      compute_point_heuristic: bool):
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
   th, tw = tile_shape
-  gp_rows = 16 if compute_point_heuristic else 8
+  pt_rows = 16 if compute_point_heuristic else 8
 
   def kernel(starts_ref, nchunks_ref,               # scalar prefetch
-             pts_hbm, feats_hbm, grad_ref, e_ref,   # inputs
-             gpts_hbm, gfeats_hbm,                  # outputs
-             pts_vmem, feats_vmem, gpts_vmem, gfeats_vmem,  # scratch
-             sem_p, sem_f, sem_gp, sem_gf):
+             comb_hbm, grad_ref, e_ref,             # inputs
+             gout_hbm,                              # output
+             comb_vmem, gout_vmem,                  # scratch
+             sem_c, sem_g):
     t = pl.program_id(0)
     dtype = grad_ref.dtype
     start = starts_ref[t]
@@ -62,24 +76,20 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
     px = ((t % tw) * ts + lin % ts).astype(dtype) + 0.5
     py = ((t // tw) * ts + lin // ts).astype(dtype) + 0.5
 
-    grad = grad_ref[0]        # (F_pad, P): F feature rows, alpha row, zeros
+    grad = grad_ref[0]        # (F_pad, P): F features, alpha row, zeros
     e_col = e_ref[0]          # (P, 1)
 
     def body(c, carry):
       t_carry, c_carry = carry
       # bin starts are chunk-aligned by construction (mapper relayout)
       off = pl.multiple_of(start + c * g, g)
-      cp_p = pltpu.make_async_copy(
-          pts_hbm.at[:, pl.ds(off, g)], pts_vmem, sem_p)
-      cp_f = pltpu.make_async_copy(
-          feats_hbm.at[:, pl.ds(off, g)], feats_vmem, sem_f)
-      cp_p.start()
-      cp_f.start()
-      cp_p.wait()
-      cp_f.wait()
+      cp = pltpu.make_async_copy(
+          comb_hbm.at[:, pl.ds(off, g)], comb_vmem, sem_c)
+      cp.start()
+      cp.wait()
 
-      pts = pts_vmem[:, :]                            # (8, G)
-      feats = feats_vmem[:, :]                        # (F_pad, G)
+      pts = comb_vmem[0:8, :]                         # (8, G)
+      feats = comb_vmem[8:, :]                        # (F_pad, G)
       pa = blend.point_row(pts, blend.ALPHA)          # (1, G)
 
       (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
@@ -99,38 +109,33 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       def col(x):  # reduce over pixels (sublanes) -> (1, G)
         return jnp.sum(x, axis=0, keepdims=True)
 
-      gpts_vmem[0:1, :] = col(d_pdf * d_mx)
-      gpts_vmem[1:2, :] = col(d_pdf * d_my)
-      gpts_vmem[2:3, :] = col(d_pdf * d_ax)
-      gpts_vmem[3:4, :] = col(d_pdf * d_ay)
-      gpts_vmem[4:5, :] = col(d_pdf * d_sx)
-      gpts_vmem[5:6, :] = col(d_pdf * d_sy)
-      gpts_vmem[6:7, :] = col(d_pa)
-      gpts_vmem[7:8, :] = jnp.zeros((1, g), dtype)
+      gout_vmem[0:1, :] = col(d_pdf * d_mx)
+      gout_vmem[1:2, :] = col(d_pdf * d_my)
+      gout_vmem[2:3, :] = col(d_pdf * d_ax)
+      gout_vmem[3:4, :] = col(d_pdf * d_ay)
+      gout_vmem[4:5, :] = col(d_pdf * d_sx)
+      gout_vmem[5:6, :] = col(d_pdf * d_sy)
+      gout_vmem[6:7, :] = col(d_pa)
+      gout_vmem[7:8, :] = jnp.zeros((1, g), dtype)
 
       if compute_point_heuristic:
         # reference backward.py:194-198: per pixel aag = point_alpha *
-        # dL/da_raw; prune cost = sum_p aag^2, split score =
-        # sum_p |aag * dp_dmean|_1  (aag * dp_dmean == d_pdf * d_m)
+        # dL/da_raw (== d_pdf); prune cost = sum_p aag^2, split score =
+        # sum_p |aag * dp_dmean|_1
         aag = d_pdf
-        gpts_vmem[8:9, :] = col(aag * aag)
-        gpts_vmem[9:10, :] = col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
-        gpts_vmem[10:16, :] = jnp.zeros((6, g), dtype)
+        gout_vmem[8:9, :] = col(aag * aag)
+        gout_vmem[9:10, :] = col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+        gout_vmem[10:16, :] = jnp.zeros((6, g), dtype)
 
       # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
-      # (row F is the alpha-channel pseudo-gradient, dropped outside)
-      gfeats_vmem[:, :] = jax.lax.dot_general(
+      gout_vmem[pt_rows:, :] = jax.lax.dot_general(
           grad, w.weight, (((1,), (0,)), ((), ())),
           preferred_element_type=dtype)               # (F_pad, G)
 
-      cp_gp = pltpu.make_async_copy(
-          gpts_vmem, gpts_hbm.at[:, pl.ds(off, g)], sem_gp)
-      cp_gf = pltpu.make_async_copy(
-          gfeats_vmem, gfeats_hbm.at[:, pl.ds(off, g)], sem_gf)
-      cp_gp.start()
-      cp_gf.start()
-      cp_gp.wait()
-      cp_gf.wait()
+      cp_g = pltpu.make_async_copy(
+          gout_vmem, gout_hbm.at[:, pl.ds(off, g)], sem_g)
+      cp_g.start()
+      cp_g.wait()
 
       return w.t_carry, ag.c_carry
 
@@ -143,8 +148,7 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
 
 @functools.partial(
     jax.jit, static_argnames=("config", "compute_point_heuristic"))
-def raster_backward_pallas(gathered_pts: jax.Array,      # (8, K_pad)
-                           gathered_feats: jax.Array,    # (F_pad, K_pad)
+def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
                            grad_padded: jax.Array,       # (T, F_pad, P)
                            e_tiles: jax.Array,           # (T, P, 1)
                            mapping: TileMapping,
@@ -156,19 +160,19 @@ def raster_backward_pallas(gathered_pts: jax.Array,      # (8, K_pad)
   alpha-image cotangent row at index F, then zeros up to F_pad;
   e_tiles[t, p, 0] = sum_c final_image[t, c, p] * grad_padded[t, c, p].
 
-  Returns (gpts_slots (8 or 16, K_pad) rows [mx,my,ax,ay,sx,sy,alpha,0,
-  (h0,h1)], gfeats_slots (F_pad, K_pad)); reduce with
-  segment_sum(overlap_to_point) outside.
+  Returns the combined per-slot gradient buffer (R, K_pad) — see the
+  module docstring for the row layout; reduce with the mapping's
+  point-sorted permutation outside.
   """
-  dtype = gathered_pts.dtype
+  dtype = gathered.dtype
   ts = config.tile_size
   g = config.points_per_chunk
   th, tw = mapping.tile_shape
   n_tiles = th * tw
   p = ts * ts
   k_pad = mapping.overlap_to_point.shape[0]
-  f_pad = gathered_feats.shape[0]
-  gp_rows = 16 if compute_point_heuristic else 8
+  f_pad = gathered.shape[0] - 8
+  rows = grad_rows(f_pad, compute_point_heuristic)
 
   starts = mapping.tile_ranges[:, 0]
   nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
@@ -180,38 +184,27 @@ def raster_backward_pallas(gathered_pts: jax.Array,      # (8, K_pad)
       grid=(n_tiles,),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec((1, f_pad, p), lambda t, *_: (t, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec(memory_space=pl.ANY),
-      ],
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
       scratch_shapes=[
-          pltpu.VMEM((8, g), dtype),
-          pltpu.VMEM((f_pad, g), dtype),
-          pltpu.VMEM((gp_rows, g), dtype),
-          pltpu.VMEM((f_pad, g), dtype),
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
+          pltpu.VMEM((gathered.shape[0], g), dtype),
+          pltpu.VMEM((rows, g), dtype),
           pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,
       ],
   )
 
-  gpts, gfeats = pl.pallas_call(
+  gout = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=(
-          jax.ShapeDtypeStruct((gp_rows, k_pad), dtype),
-          jax.ShapeDtypeStruct((f_pad, k_pad), dtype),
-      ),
+      out_shape=jax.ShapeDtypeStruct((rows, k_pad), dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, nchunks, gathered_pts, gathered_feats, grad_padded, e_tiles)
+  )(starts, nchunks, gathered, grad_padded, e_tiles)
 
-  return gpts, gfeats
+  return gout

@@ -8,27 +8,28 @@ TPU-native redesign of the reference forward kernel
 | thread block per tile, thread per pixel  | grid step per tile; pixels are|
 | (forward.py:45-47)                       | the sublane axis, the point   |
 |                                          | chunk the lane axis of (P, G) |
-| shared-memory staging of point groups    | async DMA of (8, G) point and |
-| (forward.py:62-66)                       | (F, G) feature chunks to VMEM |
+| shared-memory staging of point groups    | async DMA of one combined     |
+| (forward.py:62-66)                       | (8+F_pad, G) chunk to VMEM    |
 | sequential per-point blend loop          | exclusive cumprod of (1-a)    |
 | (forward.py:96-108)                      | along lanes via a triangular  |
 |                                          | matmul in log space (MXU)     |
 | per-feature scalar accumulate            | (F,G)x(P,G) dot_general (MXU) |
-| warp/block saturation votes              | chunk-granular while_loop     |
-| (forward.py:70,92)                       | condition on max transmittance|
+| warp/block saturation votes              | optional chunk-granular       |
+| (forward.py:70,92)                       | while_loop early exit         |
 | warp-reduce + shared-mem atomics for     | per-overlap-slot visibility   |
-| visibility (forward.py:116-128)          | rows DMA'd out; segment_sum   |
-|                                          | outside (no atomics)          |
+| visibility (forward.py:116-128)          | rows DMA'd out; point-sorted  |
+|                                          | prefix reduction outside      |
 
 The kernel consumes the mapper's chunk-aligned padded bins: every tile
-processes whole chunks of `config.points_per_chunk` points; sentinel slots
-hold a zero-alpha padding point and are exact no-ops, so there is no
-bounds masking anywhere. All per-point HBM buffers are stored transposed
-(rows, K_pad) so chunk DMAs are lane-aligned.
+processes whole chunks of `config.points_per_chunk` points; sentinel
+slots hold a zero-alpha padding point and are exact no-ops, so there is
+no bounds masking anywhere. The per-point HBM buffer is stored
+transposed (rows, K_pad) — point rows 0..7 then feature rows (with an
+all-ones virtual alpha channel at row F) — so one lane-aligned DMA per
+chunk feeds the whole blend.
 
-Outputs are tile-packed (T, F+1, P) with the last channel row holding the
-accumulated blend weight (alpha image); tiles.tiles_to_image assembles
-(H, W, C) outside.
+Outputs are tile-packed (T, F+1, P) with the last channel row holding
+the accumulated blend weight; tiles.tiles_to_image assembles (H, W, C).
 """
 
 import functools
@@ -42,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import RasterConfig
 from ..mapper import TileMapping
 from . import blend
-from .xla_impl import pack_point_cols
 
 
 def use_interpret() -> bool:
@@ -57,29 +57,41 @@ def round_up(a: int, b: int) -> int:
   return -(-a // b) * b
 
 
-def gather_transposed(points, features, mapping):
-  """Build the transposed, sentinel-padded, bin-ordered point/feature
-  buffers the kernels stream: ((8, K_pad), (F_pad, K_pad)).
+def pack_point_cols(points: jax.Array) -> jax.Array:
+  """(N, 7) -> (8, N+1): transposed, padded to 8 rows, with a harmless
+  padding column for the sentinel index N (alpha 0, unit axis, unit
+  sigma, so sentinel bin slots are exact no-ops)."""
+  n = points.shape[0]
+  pad = jnp.asarray([[0, 0, 1, 0, 1, 1, 0]], points.dtype)
+  pts = jnp.concatenate([points, pad], axis=0)               # (N+1, 7)
+  pts = jnp.concatenate(
+      [pts, jnp.zeros((n + 1, 1), points.dtype)], axis=1)    # (N+1, 8)
+  return pts.T
 
-  Feature row F is an all-ones virtual channel: blending it yields the
-  alpha/weight image as just another matmul row (and makes the alpha
-  image differentiable in the backward). Rows above F are zero padding
-  to a sublane-aligned multiple of 8."""
+
+def feature_rows(features: jax.Array) -> jax.Array:
+  """(N, F) -> (F_pad, N+1): transposed with the all-ones virtual alpha
+  channel at row F (making the alpha image just another blended channel,
+  and thereby differentiable), zero padding to a multiple of 8 rows, and
+  the sentinel column appended."""
   n, f = features.shape
   f_pad = round_up(f + 1, 8)
   dtype = features.dtype
-  pts_cols = pack_point_cols(points)                         # (8, N+1)
   feats = jnp.concatenate([
       features,
       jnp.ones((n, 1), dtype),
       jnp.zeros((n, f_pad - f - 1), dtype),
   ], axis=1)
-  # sentinel padding row: zero features (its alpha is 0 so the ones
-  # channel is harmless either way)
   pad_row = jnp.zeros((1, f_pad), dtype).at[0, f].set(1.0)
-  feats = jnp.concatenate([feats, pad_row], axis=0).T        # (F_pad, N+1)
-  otp = mapping.overlap_to_point
-  return jnp.take(pts_cols, otp, axis=1), jnp.take(feats, otp, axis=1)
+  return jnp.concatenate([feats, pad_row], axis=0).T         # (F_pad, N+1)
+
+
+def gather_combined(points, features, mapping):
+  """One bin-ordered combined buffer (8 + F_pad, K_pad): point rows then
+  feature rows — a single gather pass and a single DMA per chunk."""
+  combined = jnp.concatenate(
+      [pack_point_cols(points), feature_rows(features)], axis=0)
+  return jnp.take(combined, mapping.overlap_to_point, axis=1)
 
 
 def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
@@ -89,15 +101,16 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
   g = config.points_per_chunk
   th, tw = tile_shape
   blending = config.use_alpha_blending
-  # keep blending while any pixel's accumulated weight is below this
+  # continue while any pixel's accumulated weight is below this
   stop_total = (config.saturate_threshold if blending
                 else 1 - config.saturate_threshold)
+  early_exit = config.saturation_early_exit and not compute_visibility
 
   def kernel(starts_ref, nchunks_ref,            # scalar prefetch (SMEM)
-             pts_hbm, feats_hbm,                 # inputs (ANY/HBM)
+             comb_hbm,                           # input (ANY/HBM)
              img_ref, vis_hbm,                   # outputs
-             pts_vmem, feats_vmem, vis_vmem,     # scratch
-             sem_p, sem_f, sem_v):
+             comb_vmem, vis_vmem,                # scratch
+             sem_c, sem_v):
     t = pl.program_id(0)
     dtype = img_ref.dtype
     start = starts_ref[t]
@@ -110,21 +123,16 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
     img_ref[0] = jnp.zeros((feature_size + 1, p), dtype)
     ones_row = jnp.ones((1, g), dtype)
 
-    def body(carry):
-      c, t_carry = carry
+    def body(c, t_carry):
       # bin starts are chunk-aligned by construction (mapper relayout)
       off = pl.multiple_of(start + c * g, g)
-      cp_p = pltpu.make_async_copy(
-          pts_hbm.at[:, pl.ds(off, g)], pts_vmem, sem_p)
-      cp_f = pltpu.make_async_copy(
-          feats_hbm.at[:, pl.ds(off, g)], feats_vmem, sem_f)
-      cp_p.start()
-      cp_f.start()
-      cp_p.wait()
-      cp_f.wait()
+      cp = pltpu.make_async_copy(
+          comb_hbm.at[:, pl.ds(off, g)], comb_vmem, sem_c)
+      cp.start()
+      cp.wait()
 
-      pts = pts_vmem[:, :]                       # (8, G)
-      feats = feats_vmem[:, :]                   # (F_pad, G)
+      pts = comb_vmem[0:8, :]                    # (8, G)
+      feats = comb_vmem[8:, :]                   # (F_pad, G)
 
       pdf = blend.chunk_pdf(pts, px, py, config.antialias)   # (P, G)
       w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
@@ -151,19 +159,18 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
         cp_v.start()
         cp_v.wait()
 
-      return c + 1, w.t_carry
-
-    def cond(carry):
-      c, t_carry = carry
-      not_done = c < nch
-      if compute_visibility:
-        # every slot must be written (the visibility buffer has no other
-        # initialization), so no saturation early-exit in this mode
-        return not_done
-      return not_done & (jnp.max(t_carry) > 1 - stop_total)
+      return w.t_carry
 
     t0 = jnp.ones((p, 1), dtype)
-    jax.lax.while_loop(cond, body, (jnp.int32(0), t0))
+    if early_exit:
+      def cond(carry):
+        c, t_carry = carry
+        return (c < nch) & (jnp.max(t_carry) > 1 - stop_total)
+
+      jax.lax.while_loop(cond, lambda cr: (cr[0] + 1, body(cr[0], cr[1])),
+                         (jnp.int32(0), t0))
+    else:
+      jax.lax.fori_loop(0, nch, body, t0)
 
   return kernel
 
@@ -188,8 +195,9 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
   n_tiles = th * tw
   p = ts * ts
   k_pad = mapping.overlap_to_point.shape[0]
+  f_pad = round_up(f + 1, 8)
 
-  gathered_pts, gathered_feats = gather_transposed(points, features, mapping)
+  gathered = gather_combined(points, features, mapping)  # (8+F_pad, K_pad)
 
   starts = mapping.tile_ranges[:, 0]
   nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
@@ -199,20 +207,15 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=2,
       grid=(n_tiles,),
-      in_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec(memory_space=pl.ANY),
-      ],
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=[
           pl.BlockSpec((1, f + 1, p), lambda t, *_: (t, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(memory_space=pl.ANY),
       ],
       scratch_shapes=[
-          pltpu.VMEM((8, g), dtype),
-          pltpu.VMEM((round_up(f + 1, 8), g), dtype),
+          pltpu.VMEM((8 + f_pad, g), dtype),
           pltpu.VMEM((1, g), dtype),
-          pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,
       ],
@@ -228,6 +231,6 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, nchunks, gathered_pts, gathered_feats)
+  )(starts, nchunks, gathered)
 
   return tiled, (vis if compute_visibility else None)

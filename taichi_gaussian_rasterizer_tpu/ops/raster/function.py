@@ -3,8 +3,10 @@
 Rebuild of /root/reference/taichi_splatting/rasterizer/function.py on
 `jax.custom_vjp`: the Pallas forward/backward kernels are stitched into a
 differentiable op; per-overlap-slot gradients are reduced to per-point
-gradients with a segment_sum keyed by the mapper's overlap_to_point (the
-TPU-native replacement for the reference's atomic accumulation ladder).
+gradients with a point-sorted prefix-sum reduction (the TPU-native
+replacement for the reference's atomic accumulation ladder — large
+scatter-adds are pathologically slow on TPU, sorts/cumsums are not; the
+mapper precomputes the point-major permutation once per frame).
 
 Point heuristics (reference backward.py:194-198, surfaced after
 loss.backward() by mutating ctx in torch) are delivered functionally: the
@@ -27,7 +29,7 @@ from ...config import RasterConfig
 from ..mapper import TileMapping, map_to_tiles
 from . import tiles
 from .backward import raster_backward_pallas
-from .forward import gather_transposed, rasterize_tiles_pallas, round_up
+from .forward import gather_combined, rasterize_tiles_pallas, round_up
 
 
 class RasterOut(NamedTuple):
@@ -35,6 +37,21 @@ class RasterOut(NamedTuple):
   image_weight: jax.Array                 # (H, W) accumulated alpha
   point_heuristic: Optional[jax.Array]    # via heuristic-sink gradients
   visibility: Optional[jax.Array]         # (N,) total blend weight
+
+
+def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
+  """(R, K_pad) per-overlap-slot values -> (N, R) per-point sums.
+
+  Uses the mapping's point-major permutation + segment offsets: gather
+  into point-grouped order, one cumulative sum, and a prefix difference
+  per segment. All gathers/cumsums — no scatter-add."""
+  grouped = jnp.take(slots, mapping.point_perm, axis=1)      # (R, K_pad)
+  pref = jnp.cumsum(grouped, axis=1)
+  pref = jnp.concatenate(
+      [jnp.zeros((slots.shape[0], 1), slots.dtype), pref], axis=1)
+  out = (jnp.take(pref, mapping.point_offsets[1:], axis=1)
+         - jnp.take(pref, mapping.point_offsets[:-1], axis=1))
+  return out.T                                               # (N, R)
 
 
 def _float0_like(tree):
@@ -80,19 +97,19 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
       [tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
   e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]  # (T,P,1)
 
-  gathered_pts, gathered_feats = gather_transposed(points, features, mapping)
+  gathered = gather_combined(points, features, mapping)
 
-  gpts_slots, gfeats_slots = raster_backward_pallas(
-      gathered_pts, gathered_feats, grad_padded, e_tiles, mapping,
-      config=config, compute_point_heuristic=compute_heuristic)
+  gout = raster_backward_pallas(
+      gathered, grad_padded, e_tiles, mapping, config=config,
+      compute_point_heuristic=compute_heuristic)
 
-  otp = mapping.overlap_to_point
-  gp = jax.ops.segment_sum(gpts_slots.T, otp, num_segments=n + 1)[:n]
-  gf = jax.ops.segment_sum(gfeats_slots.T, otp, num_segments=n + 1)[:n, :f]
+  per_point = reduce_slots_by_point(gout, mapping)           # (N, R)
+  pt_rows = 16 if compute_heuristic else 8
 
-  grad_points = gp[:, :7]
+  grad_points = per_point[:, :7]
+  gf = per_point[:, pt_rows:pt_rows + f]
   if compute_heuristic:
-    heuristic = gp[:, 8:10]
+    heuristic = per_point[:, 8:10]
   else:
     heuristic = jnp.zeros((n, 2), dtype)
 
@@ -159,9 +176,8 @@ def rasterize_with_tiles(
 
   visibility = None
   if compute_visibility:
-    visibility = jax.ops.segment_sum(
-        jax.lax.stop_gradient(vis_slots[0]), mapping.overlap_to_point,
-        num_segments=n + 1)[:n]
+    visibility = reduce_slots_by_point(
+        jax.lax.stop_gradient(vis_slots), mapping)[:, 0]
 
   return RasterOut(image, weight, None, visibility)
 

@@ -17,11 +17,21 @@ from ..ops import lib
 from ..ops.projection import CameraParams
 
 
-def unproject_points(uv, depth, T_image_world):
-  """Inverse of the full image projection (torch_lib/projection.py:57-62)."""
-  points = jnp.concatenate([uv * depth, depth, jnp.ones_like(depth)], axis=-1)
-  transformed = points @ jnp.linalg.inv(T_image_world).T
-  return transformed[..., 0:3] / transformed[..., 3:4]
+def unproject_points_camera(uv, depth, projection):
+  """Image uv + depth -> camera-space xyz via closed-form K^-1."""
+  fx, fy, cx, cy = (projection[i] for i in range(4))
+  x = (uv[..., 0:1] - cx) * depth / fx
+  y = (uv[..., 1:2] - cy) * depth / fy
+  return jnp.concatenate([x, y, depth], axis=-1)
+
+
+def unproject_points(uv, depth, camera: "CameraParams"):
+  """Inverse of the full image projection (torch_lib/projection.py:57-62),
+  using closed-form intrinsic and rigid inverses — a general 4x4
+  `linalg.inv` of T_image_world is too ill-conditioned for f32 on TPU."""
+  cam_xyz = unproject_points_camera(uv, depth, camera.projection)
+  R, t = lib.split_rt(camera.T_camera_world)
+  return (cam_xyz - t) @ R  # == R^T @ (x - t) batched
 
 
 def random_camera(key, pos_scale: float = 1.0,
@@ -33,8 +43,9 @@ def random_camera(key, pos_scale: float = 1.0,
 
   q = lib.safe_normalize(jax.random.normal(k1, (4,), dtype))
   t = jax.random.normal(k2, (3,), dtype) * pos_scale
-  T_world_camera = lib.join_rt(lib.quat_to_mat(q), t)
-  T_camera_world = jnp.linalg.inv(T_world_camera)
+  # closed-form rigid inverse (f32 linalg.inv is inaccurate on TPU)
+  R = lib.quat_to_mat(q)
+  T_camera_world = lib.join_rt(R.T, -(R.T @ t))
 
   if image_size is None:
     min_size, max_size = image_size_range
@@ -72,8 +83,7 @@ def random_3d_gaussians(key, n: int, camera_params: CameraParams,
       jax.random.uniform(keys[1], (n,), dtype),
       camera_params.near_plane, camera_params.far_plane)
 
-  position = unproject_points(
-      uv, depth[:, None], camera_params.T_image_world.astype(dtype))
+  position = unproject_points(uv, depth[:, None], camera_params)
   fx = camera_params.projection[0]
 
   scale = (w / math.sqrt(n)) * (depth / fx) * scale_factor

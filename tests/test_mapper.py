@@ -134,7 +134,8 @@ def test_mapper_empty_and_culled():
 
 def test_mapper_overflow_flag():
   image_size = (128, 128)
-  config = RasterConfig(tile_size=16)
+  # tiny chunk + zero capacity: the padded bins cannot fit, must flag
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
   points, depth = make_scene(0, 200, image_size)
   mapping = map_to_tiles(points, depth, image_size, config, capacity=8)
   assert bool(mapping.overflow)

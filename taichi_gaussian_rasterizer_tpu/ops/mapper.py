@@ -161,18 +161,28 @@ def _footprint(points: jax.Array, image_size, tile_size: int,
   return min_tile, span, inv_basis, mean, clipped
 
 
-def _sat_accept(rel_lower, inv_basis, tile_size):
+def _sat_accept(lo_x, lo_y, ib, tile_size):
   """Oriented-ellipse vs tile-AABB separating-axis test
-  (grid_query.py:29-43). True = overlaps."""
-  c00 = rel_lower
-  c11 = rel_lower + tile_size
-  c01 = jnp.stack([c00[..., 0], c11[..., 1]], axis=-1)
-  c10 = jnp.stack([c11[..., 0], c00[..., 1]], axis=-1)
-  corners = jnp.stack([c00, c01, c10, c11], axis=-2)     # (..., 4, 2)
-  local = jnp.einsum("...ij,...cj->...ic", inv_basis, corners)
-  mn = local.min(axis=-1)
-  mx = local.max(axis=-1)
-  return ~jnp.any((mn > 1.0) | (mx < -1.0), axis=-1)
+  (grid_query.py:29-43). True = overlaps.
+
+  The extrema of the linear corner projections factorize per component
+  (min over a box of a linear function = sum of per-axis minima), so the
+  test is pure elementwise math — no corner enumeration or batched
+  matmuls. lo_x/lo_y: (..., ) tile lower corner relative to the mean;
+  ib: tuple of 4 (...,) inverse-basis entries (row-major)."""
+  hi_x = lo_x + tile_size
+  hi_y = lo_y + tile_size
+  ib00, ib01, ib10, ib11 = ib
+
+  sep = None
+  for bx, by in ((ib00, ib01), (ib10, ib11)):
+    mn = (jnp.minimum(bx * lo_x, bx * hi_x)
+          + jnp.minimum(by * lo_y, by * hi_y))
+    mx = (jnp.maximum(bx * lo_x, bx * hi_x)
+          + jnp.maximum(by * lo_y, by * hi_y))
+    s = (mn > 1.0) | (mx < -1.0)
+    sep = s if sep is None else (sep | s)
+  return ~sep
 
 
 def _partition_by_bucket(p: jax.Array):
@@ -255,22 +265,24 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     d16_s = (jnp.clip(depth_s, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
 
   def emit(lo_q, j_lo, j_hi):
-    idx = jnp.arange(lo_q, n, dtype=jnp.int32)
+    # plain slicing only — index-array reads would become XLA gathers
+    # (~20ns/row) even for contiguous ranges
     j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
 
-    sx = span_s[idx, 0][:, None]
+    sx = span_s[lo_q:, 0][:, None]
     jy = jnp.where(sx > 0, j[None, :] // jnp.maximum(sx, 1), 0)
     jx = jnp.where(sx > 0, j[None, :] % jnp.maximum(sx, 1), 0)
-    in_span = j[None, :] < counts_budgeted[idx][:, None]
+    in_span = j[None, :] < counts_budgeted[lo_q:][:, None]
 
-    tx = min_tile_s[idx, 0][:, None] + jx
-    ty = min_tile_s[idx, 1][:, None] + jy
+    tx = min_tile_s[lo_q:, 0][:, None] + jx
+    ty = min_tile_s[lo_q:, 1][:, None] + jy
     tile_id = (tx + ty * tw).astype(jnp.int32)
 
-    rel_lower = (jnp.stack([tx, ty], axis=-1) * tile_size
-                 - mean_s[idx][:, None, :]).astype(points.dtype)
-    accept = in_span & _sat_accept(
-        rel_lower, inv_basis_s[idx][:, None, :, :], tile_size)
+    lo_x = (tx * tile_size).astype(points.dtype) - mean_s[lo_q:, 0][:, None]
+    lo_y = (ty * tile_size).astype(points.dtype) - mean_s[lo_q:, 1][:, None]
+    ib = tuple(inv_basis_s[lo_q:, a, b][:, None]
+               for a in range(2) for b in range(2))
+    accept = in_span & _sat_accept(lo_x, lo_y, ib, tile_size)
 
     orig = perm[lo_q:][:, None].astype(jnp.int32)
     pv = jnp.where(accept, jnp.broadcast_to(orig, tile_id.shape), n)
@@ -325,12 +337,24 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   k_pad = int(round_up(capacity, chunk) + n_tiles * chunk)
   overflow = cropped | (jnp.sum(padded_counts) > k_pad)
 
-  t_of_slot = _segment_ids_from_starts(
-      jnp.minimum(padded_starts, k_pad), k_pad)          # (K_pad,)
-  t_of_slot = jnp.clip(t_of_slot, 0, n_tiles - 1)
-  within = jnp.arange(k_pad, dtype=jnp.int32) - padded_starts[t_of_slot]
-  src = starts[t_of_slot] + within
-  live = within < tile_counts[t_of_slot]
+  # Per-slot bin metadata. pstart_of[s] / sstart_of[s] / send_of[s] are
+  # step functions of the slot index (constant within a bin, ascending
+  # across bins), so each is a T-sized scatter-max + a cummax — never a
+  # K-sized gather.
+  clipped_pstarts = jnp.minimum(padded_starts, k_pad)
+
+  def step_fn(values):
+    buf = jnp.zeros((k_pad,), jnp.int32).at[clipped_pstarts].max(
+        values, mode="drop")
+    return jax.lax.cummax(buf)
+
+  pstart_of = step_fn(clipped_pstarts)
+  sstart_of = step_fn(starts)
+  send_of = step_fn(ends)
+
+  slot = jnp.arange(k_pad, dtype=jnp.int32)
+  src = sstart_of + (slot - pstart_of)
+  live = src < send_of
 
   pos_ext = jnp.concatenate([cand_pos, jnp.asarray([n], jnp.int32)])
   src = jnp.where(live, src, cand_pos.shape[0])

@@ -79,17 +79,42 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
     grad = grad_ref[0]        # (F_pad, P): F features, alpha row, zeros
     e_col = e_ref[0]          # (P, 1)
 
+    k_pad_total = comb_hbm.shape[1]
+    two = jnp.asarray(2, jnp.int32)
+
+    def chunk_in(c, slot):
+      # prefetch may run one chunk past this bin (contiguous bins; clamped
+      # at the buffer end) — its data is never used
+      off = pl.multiple_of(
+          jnp.minimum(start + c * g, k_pad_total - g), g)
+      return pltpu.make_async_copy(
+          comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
+
+    def chunk_out(c, slot):
+      off = pl.multiple_of(start + c * g, g)
+      return pltpu.make_async_copy(
+          gout_vmem.at[slot], gout_hbm.at[:, pl.ds(off, g)], sem_g.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+      chunk_in(0, 0).start()
+
     def body(c, carry):
       t_carry, c_carry = carry
-      # bin starts are chunk-aligned by construction (mapper relayout)
-      off = pl.multiple_of(start + c * g, g)
-      cp = pltpu.make_async_copy(
-          comb_hbm.at[:, pl.ds(off, g)], comb_vmem, sem_c)
-      cp.start()
-      cp.wait()
+      slot = jax.lax.rem(c, two)
 
-      pts = comb_vmem[0:8, :]                         # (8, G)
-      feats = comb_vmem[8:, :]                        # (F_pad, G)
+      @pl.when(c + 1 < nch)
+      def _():
+        chunk_in(c + 1, 1 - slot).start()
+
+      chunk_in(c, slot).wait()
+      # the write of chunk c-2 must land before its scratch slot is reused
+      @pl.when(c >= 2)
+      def _():
+        chunk_out(c - 2, slot).wait()
+
+      pts = comb_vmem[slot, 0:8, :]                   # (8, G)
+      feats = comb_vmem[slot, 8:, :]                  # (F_pad, G)
       pa = blend.point_row(pts, blend.ALPHA)          # (1, G)
 
       (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
@@ -109,39 +134,46 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       def col(x):  # reduce over pixels (sublanes) -> (1, G)
         return jnp.sum(x, axis=0, keepdims=True)
 
-      gout_vmem[0:1, :] = col(d_pdf * d_mx)
-      gout_vmem[1:2, :] = col(d_pdf * d_my)
-      gout_vmem[2:3, :] = col(d_pdf * d_ax)
-      gout_vmem[3:4, :] = col(d_pdf * d_ay)
-      gout_vmem[4:5, :] = col(d_pdf * d_sx)
-      gout_vmem[5:6, :] = col(d_pdf * d_sy)
-      gout_vmem[6:7, :] = col(d_pa)
-      gout_vmem[7:8, :] = jnp.zeros((1, g), dtype)
+      gout_vmem[slot, 0:1, :] = col(d_pdf * d_mx)
+      gout_vmem[slot, 1:2, :] = col(d_pdf * d_my)
+      gout_vmem[slot, 2:3, :] = col(d_pdf * d_ax)
+      gout_vmem[slot, 3:4, :] = col(d_pdf * d_ay)
+      gout_vmem[slot, 4:5, :] = col(d_pdf * d_sx)
+      gout_vmem[slot, 5:6, :] = col(d_pdf * d_sy)
+      gout_vmem[slot, 6:7, :] = col(d_pa)
+      gout_vmem[slot, 7:8, :] = jnp.zeros((1, g), dtype)
 
       if compute_point_heuristic:
         # reference backward.py:194-198: per pixel aag = point_alpha *
         # dL/da_raw (== d_pdf); prune cost = sum_p aag^2, split score =
         # sum_p |aag * dp_dmean|_1
         aag = d_pdf
-        gout_vmem[8:9, :] = col(aag * aag)
-        gout_vmem[9:10, :] = col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
-        gout_vmem[10:16, :] = jnp.zeros((6, g), dtype)
+        gout_vmem[slot, 8:9, :] = col(aag * aag)
+        gout_vmem[slot, 9:10, :] = col(
+            jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+        gout_vmem[slot, 10:16, :] = jnp.zeros((6, g), dtype)
 
       # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
-      gout_vmem[pt_rows:, :] = jax.lax.dot_general(
+      gout_vmem[slot, pt_rows:, :] = jax.lax.dot_general(
           grad, w.weight, (((1,), (0,)), ((), ())),
           preferred_element_type=dtype)               # (F_pad, G)
 
-      cp_g = pltpu.make_async_copy(
-          gout_vmem, gout_hbm.at[:, pl.ds(off, g)], sem_g)
-      cp_g.start()
-      cp_g.wait()
-
+      chunk_out(c, slot).start()
       return w.t_carry, ag.c_carry
 
     t0 = jnp.ones((p, 1), dtype)
     c0 = jnp.zeros((p, 1), dtype)
     jax.lax.fori_loop(0, nch, body, (t0, c0))
+
+    # drain outstanding gradient writes before the next grid step reuses
+    # the scratch slots
+    @pl.when(nch >= 2)
+    def _():
+      chunk_out(nch - 2, jax.lax.rem(nch - 2, two)).wait()
+
+    @pl.when(nch >= 1)
+    def _():
+      chunk_out(nch - 1, jax.lax.rem(nch - 1, two)).wait()
 
   return kernel
 
@@ -191,10 +223,10 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
       ],
       out_specs=pl.BlockSpec(memory_space=pl.ANY),
       scratch_shapes=[
-          pltpu.VMEM((gathered.shape[0], g), dtype),
-          pltpu.VMEM((rows, g), dtype),
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
+          pltpu.VMEM((2, gathered.shape[0], g), dtype),  # double-buffered in
+          pltpu.VMEM((2, rows, g), dtype),               # double-buffered out
+          pltpu.SemaphoreType.DMA((2,)),
+          pltpu.SemaphoreType.DMA((2,)),
       ],
   )
 

@@ -123,16 +123,25 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
     img_ref[0] = jnp.zeros((feature_size + 1, p), dtype)
     ones_row = jnp.ones((1, g), dtype)
 
-    def body(c, t_carry):
-      # bin starts are chunk-aligned by construction (mapper relayout)
-      off = pl.multiple_of(start + c * g, g)
-      cp = pltpu.make_async_copy(
-          comb_hbm.at[:, pl.ds(off, g)], comb_vmem, sem_c)
-      cp.start()
-      cp.wait()
+    k_pad_total = comb_hbm.shape[1]
 
-      pts = comb_vmem[0:8, :]                    # (8, G)
-      feats = comb_vmem[8:, :]                   # (F_pad, G)
+    def chunk_dma(c, slot):
+      # double-buffered: prefetch chunk c+1 while computing c; the
+      # prefetch may run one chunk past this tile's bin — bins are
+      # contiguous so it reads the next tile's data (clamped at the
+      # buffer end), never out of bounds
+      off = pl.multiple_of(
+          jnp.minimum(start + c * g, k_pad_total - g), g)
+      return pltpu.make_async_copy(
+          comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
+
+    if not early_exit:
+      # warmup prefetch (balanced: every started DMA is waited in body)
+      @pl.when(nch > 0)
+      def _():
+        chunk_dma(0, 0).start()
+
+    def compute_chunk(c, t_carry, pts, feats):
 
       pdf = blend.chunk_pdf(pts, px, py, config.antialias)   # (P, G)
       w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
@@ -153,6 +162,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
         img_ref[0, feature_size:, :] += alpha_row
 
       if compute_visibility:
+        off = pl.multiple_of(start + c * g, g)
         vis_vmem[:, :] = jnp.sum(w.weight, axis=0, keepdims=True)
         cp_v = pltpu.make_async_copy(
             vis_vmem, vis_hbm.at[:, pl.ds(off, g)], sem_v)
@@ -161,16 +171,38 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
 
       return w.t_carry
 
+    def body_db(c, t_carry):
+      # double-buffered: prefetch chunk c+1 while computing c
+      slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+      @pl.when(c + 1 < nch)
+      def _():
+        chunk_dma(c + 1, 1 - slot).start()
+
+      chunk_dma(c, slot).wait()
+      return compute_chunk(c, t_carry,
+                           comb_vmem[slot, 0:8, :], comb_vmem[slot, 8:, :])
+
+    def body_seq(c, t_carry):
+      # sequential (early-exit mode: a speculative prefetch could dangle
+      # past the data-dependent loop end)
+      dma = chunk_dma(c, 0)
+      dma.start()
+      dma.wait()
+      return compute_chunk(c, t_carry,
+                           comb_vmem[0, 0:8, :], comb_vmem[0, 8:, :])
+
     t0 = jnp.ones((p, 1), dtype)
     if early_exit:
       def cond(carry):
         c, t_carry = carry
         return (c < nch) & (jnp.max(t_carry) > 1 - stop_total)
 
-      jax.lax.while_loop(cond, lambda cr: (cr[0] + 1, body(cr[0], cr[1])),
-                         (jnp.int32(0), t0))
+      jax.lax.while_loop(
+          cond, lambda cr: (cr[0] + 1, body_seq(cr[0], cr[1])),
+          (jnp.int32(0), t0))
     else:
-      jax.lax.fori_loop(0, nch, body, t0)
+      jax.lax.fori_loop(0, nch, body_db, t0)
 
   return kernel
 
@@ -214,9 +246,9 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
           pl.BlockSpec(memory_space=pl.ANY),
       ],
       scratch_shapes=[
-          pltpu.VMEM((8 + f_pad, g), dtype),
+          pltpu.VMEM((2, 8 + f_pad, g), dtype),   # double-buffered chunks
           pltpu.VMEM((1, g), dtype),
-          pltpu.SemaphoreType.DMA,
+          pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA,
       ],
   )

@@ -76,15 +76,21 @@ def _raster_core_fwd(config, compute_visibility, points, features,
                      heuristic_sink, mapping):
   out = _raster_core(config, compute_visibility, points, features,
                      heuristic_sink, mapping)
-  return out, (points, features, out[0], mapping)
+  # the combined gathered buffer is saved as a residual (XLA CSEs it with
+  # the forward's own gather): gathers cost ~20ns/row on TPU, so
+  # re-gathering in the backward would be a large fraction of the whole
+  # backward pass
+  gathered = gather_combined(points, features, mapping)
+  return out, (gathered, out[0], mapping)
 
 
 def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
-  points, features, tiled, mapping = residuals
+  gathered, tiled, mapping = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
-  n, f = features.shape
-  dtype = points.dtype
+  n = mapping.point_sentinel
+  f = tiled.shape[1] - 1
+  dtype = gathered.dtype
   f_pad = round_up(f + 1, 8)
   t = tiled.shape[0]
   p = tiled.shape[2]
@@ -96,8 +102,6 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
   img_padded = jnp.concatenate(
       [tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
   e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]  # (T,P,1)
-
-  gathered = gather_combined(points, features, mapping)
 
   gout = raster_backward_pallas(
       gathered, grad_padded, e_tiles, mapping, config=config,
@@ -113,7 +117,7 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
   else:
     heuristic = jnp.zeros((n, 2), dtype)
 
-  return (grad_points, gf, heuristic, _float0_like(residuals[3]))
+  return (grad_points, gf, heuristic, _float0_like(mapping))
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)

@@ -29,11 +29,21 @@ def main():
   n = 1_000_000
   image_size = (2048, 1536)
   config = RasterConfig(tile_size=16, points_per_chunk=128)
-  capacity = 6 * n
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
                                   scale_factor=1.0)
+
+  # adaptive capacity: probe the true overlap count once, then re-jit
+  # with a snug static capacity (the documented resize-on-overflow flow)
+  from taichi_gaussian_rasterizer_tpu import map_to_tiles, project_to_image
+  pts, depth, _ = jax.jit(
+      lambda g: project_to_image(g, camera, config))(gaussians)
+  probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
+                           capacity=6 * n)
+  total = int(probe_map.total_overlaps)
+  capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
+  print(f"overlaps={total} -> capacity={capacity}", file=sys.stderr)
 
   @jax.jit
   def train_frame(gaussians, g_image):

@@ -368,6 +368,11 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   _, point_perm = jax.lax.sort(
       (overlap_to_point, jnp.arange(k_pad, dtype=jnp.int32)), num_keys=1,
       is_stable=True)
+  # sentinel slots group at the end; only the first `capacity` entries can
+  # hold real overlaps (overflow is flagged otherwise), so the reduction
+  # never needs the tail — truncate to cut its gather/cumsum cost
+  reduce_width = int(round_up(min(capacity, k_pad), chunk))
+  point_perm = point_perm[:reduce_width]
   # accepted counts per original point: invert the bucket permutation
   counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(accepted_s)
   point_offsets = jnp.concatenate(

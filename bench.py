@@ -42,13 +42,17 @@ def main():
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
                            capacity=6 * n)
   total = int(probe_map.total_overlaps)
+  padded = int(probe_map.total_padded)
   capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
-  print(f"overlaps={total} -> capacity={capacity}", file=sys.stderr)
+  padded_capacity = int((int(padded * 1.1) + 1023) // 1024 * 1024)
+  print(f"overlaps={total} padded={padded} -> capacity={capacity} "
+        f"padded_capacity={padded_capacity}", file=sys.stderr)
 
   @jax.jit
   def train_frame(gaussians, g_image):
     def loss(g):
-      r = render_gaussians(g, camera, config, capacity=capacity)
+      r = render_gaussians(g, camera, config, capacity=capacity,
+                           padded_capacity=padded_capacity)
       return jnp.vdot(r.image, g_image)
 
     g = jax.grad(loss)(gaussians)

@@ -114,3 +114,56 @@ def main():
 
 if __name__ == "__main__":
   main()
+
+
+def profile_extras(args=None):
+  """Extra measurements: projection backward, reduction internals."""
+  import argparse
+  p = argparse.ArgumentParser()
+  p.add_argument("--n", type=int, default=1_000_000)
+  p.add_argument("--size", type=int, default=2048)
+  args = p.parse_args()
+
+  from taichi_gaussian_rasterizer_tpu import (RasterConfig, map_to_tiles,
+                                              project_to_image)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians)
+  from functools import partial
+
+  n = args.n
+  image_size = (args.size, args.size * 3 // 4)
+  config = RasterConfig(tile_size=16, points_per_chunk=128)
+  camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
+  g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
+
+  @jax.jit
+  def proj_bwd(g, ct):
+    def f(g):
+      pts, depth, _ = project_to_image(g, camera, config)
+      return jnp.vdot(pts, ct[0]) + jnp.vdot(depth, ct[1])
+    return jax.grad(f)(g)
+
+  ct = (jax.random.normal(jax.random.PRNGKey(2), (n, 7)),
+        jax.random.normal(jax.random.PRNGKey(3), (n, 1)))
+  _, ms = timeit(proj_bwd, g, ct)
+  print(f"projection fwd+bwd: {ms:.2f} ms")
+
+  pts, depth, _ = jax.jit(partial(project_to_image, config=config))(g, camera)
+  mapping = map_to_tiles(pts, depth[:, 0], image_size, config,
+                         capacity=3 * n)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      reduce_slots_by_point)
+  k_pad = mapping.overlap_to_point.shape[0]
+  slots = jax.random.normal(jax.random.PRNGKey(4), (16, k_pad))
+
+  grouped_fn = jax.jit(lambda s: jnp.take(s, mapping.point_perm, axis=1))
+  _, ms = timeit(grouped_fn, slots)
+  print(f"reduction: perm gather ({mapping.point_perm.shape[0]/1e6:.1f}M): "
+        f"{ms:.2f} ms")
+  red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
+  _, ms = timeit(red, slots)
+  print(f"reduction total: {ms:.2f} ms")
+
+
+if __name__ == "__main__" and __import__("sys").argv[0].endswith("nothing"):
+  pass

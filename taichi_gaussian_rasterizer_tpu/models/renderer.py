@@ -136,7 +136,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      render_median_depth: bool = False,
                      use_ndc_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
-                     capacity: Optional[int] = None) -> Rendering:
+                     capacity: Optional[int] = None,
+                     padded_capacity: Optional[int] = None) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:183-231)."""
   ndc_depths = lib.ndc_depth(
       jnp.maximum(depths, camera_params.near_plane),
@@ -150,7 +151,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
 
   mapping = map_to_tiles(gaussians2d, ndc_depths[:, 0],
                          camera_params.image_size, config,
-                         capacity=capacity, use_depth16=use_depth16)
+                         capacity=capacity, use_depth16=use_depth16,
+                         padded_capacity=padded_capacity)
 
   raster = rasterize_with_tiles(
       gaussians2d, features, mapping, camera_params.image_size, config,
@@ -196,7 +198,8 @@ def render_gaussians(gaussians: Gaussians3D,
                      use_depth16: bool = False,
                      render_median_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
-                     capacity: Optional[int] = None) -> Rendering:
+                     capacity: Optional[int] = None,
+                     padded_capacity: Optional[int] = None) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:134-170).
 
   features are degree-inferred SH coefficients when use_sh=True (shaded
@@ -219,7 +222,8 @@ def render_gaussians(gaussians: Gaussians3D,
       in_view, gaussians2d, features, depths, camera_params, config,
       render_depth=render_depth, use_depth16=use_depth16,
       render_median_depth=render_median_depth,
-      heuristic_sink=heuristic_sink, capacity=capacity)
+      heuristic_sink=heuristic_sink, capacity=capacity,
+      padded_capacity=padded_capacity)
 
 
 def viewspace_gradient(grad_gaussians2d: jax.Array) -> jax.Array:

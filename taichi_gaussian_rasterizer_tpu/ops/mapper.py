@@ -109,6 +109,8 @@ class TileMapping:
   tile_ranges: jax.Array       # (TH*TW, 2) int32 [start, end) per tile
   tile_shape: Tuple[int, int]  # (TH, TW) -- static
   total_overlaps: jax.Array    # () int32 number of real (point, tile) pairs
+  total_padded: jax.Array      # () int32 chunk-padded overlap list length
+                               # (probe for a snug `padded_capacity`)
   overflow: jax.Array          # () bool: capacity exceeded / footprint
                                # cropped -- results valid but incomplete
   point_sentinel: int          # == N (static)
@@ -124,7 +126,7 @@ class TileMapping:
 jax.tree_util.register_dataclass(
     TileMapping,
     data_fields=["overlap_to_point", "tile_ranges", "total_overlaps",
-                 "overflow", "point_perm", "point_offsets"],
+                 "total_padded", "overflow", "point_perm", "point_offsets"],
     meta_fields=["tile_shape", "point_sentinel"])
 
 
@@ -205,11 +207,12 @@ def _segment_ids_from_starts(starts: jax.Array, length: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("image_size", "config", "capacity",
-                                   "use_depth16"))
+                                   "use_depth16", "padded_capacity"))
 def map_to_tiles(points: jax.Array, depth: jax.Array,
                  image_size: Tuple[int, int], config: RasterConfig,
                  capacity: Optional[int] = None,
-                 use_depth16: bool = False) -> TileMapping:
+                 use_depth16: bool = False,
+                 padded_capacity: Optional[int] = None) -> TileMapping:
   """Map gaussians to tiles, depth-sorted front-to-back within each tile
   (reference mapper/tile_mapper.py:202-223).
 
@@ -334,8 +337,13 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   # ---- chunk-aligned padded layout via gather ----
   padded_counts = cdiv(tile_counts, chunk) * chunk
   padded_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
-  k_pad = int(round_up(capacity, chunk) + n_tiles * chunk)
-  overflow = cropped | (jnp.sum(padded_counts) > k_pad)
+  total_padded = jnp.sum(padded_counts)
+  if padded_capacity is not None:
+    # caller-probed snug bound on the padded list (see total_padded)
+    k_pad = int(round_up(padded_capacity, chunk))
+  else:
+    k_pad = int(round_up(capacity, chunk) + n_tiles * chunk)
+  overflow = cropped | (total_padded > k_pad)
 
   # Per-slot bin metadata. pstart_of[s] / sstart_of[s] / send_of[s] are
   # step functions of the slot index (constant within a bin, ascending
@@ -384,6 +392,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       tile_ranges=tile_ranges,
       tile_shape=(th, tw),
       total_overlaps=total,
+      total_padded=total_padded,
       overflow=overflow,
       point_sentinel=n,
       point_perm=point_perm,

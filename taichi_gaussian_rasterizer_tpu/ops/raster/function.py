@@ -45,12 +45,13 @@ def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
   Uses the mapping's point-major permutation + segment offsets: gather
   into point-grouped order, one cumulative sum, and a prefix difference
   per segment. All gathers/cumsums — no scatter-add."""
-  grouped = jnp.take(slots, mapping.point_perm, axis=1)      # (R, K_pad)
+  grouped = jnp.take(slots, mapping.point_perm, axis=1)      # (R, W)
   pref = jnp.cumsum(grouped, axis=1)
   pref = jnp.concatenate(
       [jnp.zeros((slots.shape[0], 1), slots.dtype), pref], axis=1)
-  out = (jnp.take(pref, mapping.point_offsets[1:], axis=1)
-         - jnp.take(pref, mapping.point_offsets[:-1], axis=1))
+  # one gather at the (N+1) segment boundaries, then a shifted difference
+  at_offsets = jnp.take(pref, mapping.point_offsets, axis=1)  # (R, N+1)
+  out = at_offsets[:, 1:] - at_offsets[:, :-1]
   return out.T                                               # (N, R)
 
 
@@ -190,11 +191,13 @@ def rasterize(gaussians2d: jax.Array, depth: jax.Array,
               features: jax.Array, image_size: Tuple[int, int],
               config: RasterConfig, use_depth16: bool = False,
               capacity: Optional[int] = None,
+              padded_capacity: Optional[int] = None,
               **kwargs) -> RasterOut:
   """map_to_tiles + rasterize_with_tiles (reference function.py:129-161)."""
   assert gaussians2d.shape[0] == depth.shape[0] == features.shape[0], (
       f"Size mismatch: {gaussians2d.shape}, {depth.shape}, {features.shape}")
   mapping = map_to_tiles(gaussians2d, depth, image_size, config,
-                         capacity=capacity, use_depth16=use_depth16)
+                         capacity=capacity, use_depth16=use_depth16,
+                         padded_capacity=padded_capacity)
   return rasterize_with_tiles(gaussians2d, features, mapping, image_size,
                               config, **kwargs)

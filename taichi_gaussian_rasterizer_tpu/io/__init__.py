@@ -1,6 +1,5 @@
 """Host-side IO: native library bindings and 3DGS scene loading."""
 
-from typing import Tuple
 
 import numpy as np
 

@@ -198,14 +198,6 @@ def _partition_by_bucket(p: jax.Array):
   return perm
 
 
-def _segment_ids_from_starts(starts: jax.Array, length: int) -> jax.Array:
-  """Per-slot segment id from ascending segment starts: a tiny scatter of
-  T ones + a cumsum (never a length-sized scatter)."""
-  ind = jnp.zeros((length + 1,), jnp.int32).at[starts].add(
-      1, mode="drop")
-  return jnp.cumsum(ind[:length]) - 1
-
-
 @partial(jax.jit, static_argnames=("image_size", "config", "capacity",
                                    "use_depth16", "padded_capacity"))
 def map_to_tiles(points: jax.Array, depth: jax.Array,

@@ -144,3 +144,32 @@ def test_median_mode_stop_gradient():
 
   g = jax.grad(loss)(points)
   assert (np.asarray(g) == 0).all()  # forward-only mode
+
+
+@pytest.mark.parametrize("tile_size", [8, 16, 32])
+def test_tile_size_variants(tile_size):
+  """Every supported tile size renders the same image (binning must not
+  change the blend; reference benchmarks cover tile 16/32)."""
+  image_size = (64, 64)
+  points, depth, feats = scene(9, 60, image_size)
+
+  images = []
+  for ts in (8, tile_size):
+    config = RasterConfig(tile_size=ts, points_per_chunk=8)
+    out = rasterize(points, depth, feats, image_size, config)
+    images.append(np.asarray(out.image))
+  np.testing.assert_allclose(images[0], images[1], rtol=1e-10, atol=1e-12)
+
+
+def test_depth16_render_close():
+  """depth16 sorting only reorders nearly-equal depths; the rendered
+  image must stay close to the full-precision sort."""
+  image_size = (48, 48)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth, feats = scene(10, 80, image_size)
+
+  full = rasterize(points, depth, feats, image_size, config)
+  d16 = rasterize(points, depth, feats, image_size, config,
+                  use_depth16=True)
+  np.testing.assert_allclose(np.asarray(d16.image), np.asarray(full.image),
+                             atol=5e-3)

@@ -14,10 +14,11 @@ from .config import RasterConfig
 from .data_types import Gaussians3D, Gaussians2D, check_packed3d, check_packed2d
 from .ops import (CameraParams, project_to_image, project_points,
                   evaluate_sh_at)
-from .ops.mapper import TileMapping, map_to_tiles
+from .ops.mapper import TileMapping, map_to_tiles, pad_to_tile
 from .ops.raster import RasterOut, rasterize, rasterize_with_tiles
 from .models import (Rendering, render_gaussians, render_projected,
                      viewspace_gradient)
+from .utils import runtime  # the reference's TaichiQueue role (init/debug)
 
 __all__ = [
     "RasterConfig",
@@ -31,6 +32,8 @@ __all__ = [
     "evaluate_sh_at",
     "TileMapping",
     "map_to_tiles",
+    "pad_to_tile",
+    "runtime",
     "RasterOut",
     "rasterize",
     "rasterize_with_tiles",

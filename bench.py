@@ -1,15 +1,21 @@
-"""Headline benchmark: full forward+backward render of a 2M-gaussian
-synthetic scene at 2048x1536 on one TPU chip, end to end (projection,
-SH-free RGB, tile mapping, Pallas rasterize, gradients w.r.t. all
-gaussian parameters).
+"""Headline benchmark: full forward+backward render of Morton-ordered
+synthetic scenes (1M and 3M gaussians, the BASELINE.md scene bracket) at
+2048x1536 on one TPU chip, end to end: projection, SH-free RGB, tile
+mapping, Pallas rasterize, gradients w.r.t. all gaussian parameters.
+
+Scenes are Morton-ordered before rendering, as real 3DGS checkpoints are
+after io.load_gaussians_ply (morton_order=True) — this is the layout the
+windowed-locality optimizations target and what users actually run.
 
 Baseline: taichi-splatting fwd+bwd @2048 geometric mean = 90.63 it/s
 (11.03 ms/frame) on an RTX 4090 (BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+1M scene; the 3M result goes to stderr.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -18,25 +24,22 @@ import jax.numpy as jnp
 BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
 
 
-def main():
+def bench_scene(n, image_size, config, iters=20):
   from taichi_gaussian_rasterizer_tpu import (
-      Gaussians3D, RasterConfig, render_gaussians)
+      map_to_tiles, project_to_image, render_gaussians)
+  from taichi_gaussian_rasterizer_tpu.utils import morton
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
       random_camera, random_3d_gaussians)
-
-  import sys
-
-  n = 1_000_000
-  image_size = (2048, 1536)
-  config = RasterConfig(tile_size=16, points_per_chunk=128)
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
                                   scale_factor=1.0)
+  # Morton-order, as io.load_gaussians_ply does for real scenes
+  order = morton.argsort(gaussians.position)
+  gaussians = jax.tree.map(lambda x: jnp.take(x, order, axis=0), gaussians)
 
   # adaptive capacity: probe the true overlap count once, then re-jit
   # with a snug static capacity (the documented resize-on-overflow flow)
-  from taichi_gaussian_rasterizer_tpu import map_to_tiles, project_to_image
   pts, depth, _ = jax.jit(
       lambda g: project_to_image(g, camera, config))(gaussians)
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
@@ -45,7 +48,7 @@ def main():
   padded = int(probe_map.total_padded)
   capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
   padded_capacity = int((int(padded * 1.1) + 1023) // 1024 * 1024)
-  print(f"overlaps={total} padded={padded} -> capacity={capacity} "
+  print(f"n={n}: overlaps={total} padded={padded} -> capacity={capacity} "
         f"padded_capacity={padded_capacity}", file=sys.stderr)
 
   @jax.jit
@@ -62,19 +65,32 @@ def main():
   g_image = jax.random.normal(
       jax.random.PRNGKey(2), (image_size[1], image_size[0], 3), jnp.float32)
 
-  # compile + warmup
+  # compile + warmup; validate the run while we're at it
   t0 = time.perf_counter()
-  _, probe = train_frame(gaussians, g_image)
-  print(f"compile: {time.perf_counter() - t0:.1f}s probe={float(probe):.4g}",
-        file=sys.stderr)
+  grads, probe = train_frame(gaussians, g_image)
+  assert bool(jnp.isfinite(probe)), "non-finite gradient probe"
+  overflow = bool(probe_map.overflow)
+  print(f"n={n}: compile {time.perf_counter() - t0:.1f}s "
+        f"probe={float(probe):.4g} overflow={overflow}", file=sys.stderr)
 
-  iters = 20
   t0 = time.perf_counter()
   for _ in range(iters):
     _, probe = train_frame(gaussians, g_image)
   _ = float(probe)  # device->host readback: waits for true completion
-  ms = (time.perf_counter() - t0) / iters * 1000.0
+  return (time.perf_counter() - t0) / iters * 1000.0
 
+
+def main():
+  from taichi_gaussian_rasterizer_tpu import RasterConfig
+
+  image_size = (2048, 1536)
+  config = RasterConfig(tile_size=16, points_per_chunk=128)
+
+  ms_3m = bench_scene(3_000_000, image_size, config, iters=10)
+  print(f"3M gaussians: {ms_3m:.2f} ms/frame "
+        f"(baseline bracket: bicycle ~6M at 17.1 ms)", file=sys.stderr)
+
+  ms = bench_scene(1_000_000, image_size, config, iters=20)
   print(json.dumps({
       "metric": "fwd_bwd_ms_per_frame_2048px_1M_gaussians",
       "value": round(ms, 3),

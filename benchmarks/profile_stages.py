@@ -36,6 +36,8 @@ def main():
   p.add_argument("--size", type=int, default=2048)
   p.add_argument("--iters", type=int, default=5)
   p.add_argument("--capacity_factor", type=int, default=4)
+  p.add_argument("--tile_size", type=int, default=16)
+  p.add_argument("--chunk", type=int, default=128)
   p.add_argument("--cpu", action="store_true")
   p.add_argument("--check", action="store_true", help="finiteness checks")
   p.add_argument("--depth16", action="store_true")
@@ -56,7 +58,8 @@ def main():
 
   n = args.n
   image_size = (args.size, args.size * 3 // 4)
-  config = RasterConfig(tile_size=16, points_per_chunk=128)
+  config = RasterConfig(tile_size=args.tile_size,
+                        points_per_chunk=args.chunk)
   capacity = args.capacity_factor * n
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)

@@ -261,9 +261,12 @@ int tgr_ply_read(const char* path, float* out, int64_t n_props_expected) {
   if (!parse_header(f, n, props, off)) return -2;
   if (static_cast<int64_t>(props.size()) != n_props_expected) return -3;
   f.seekg(off);
-  f.read(reinterpret_cast<char*>(out),
-         n * n_props_expected * sizeof(float));
-  return f.good() || f.eof() ? 0 : -4;
+  const int64_t want = n * n_props_expected *
+                       static_cast<int64_t>(sizeof(float));
+  f.read(reinterpret_cast<char*>(out), want);
+  // a truncated file must be an error, not silent garbage in the tail
+  if (f.gcount() != want) return -4;
+  return f.bad() ? -4 : 0;
 }
 
 }  // extern "C"

@@ -17,7 +17,7 @@ from .ops import (CameraParams, project_to_image, project_points,
 from .ops.mapper import TileMapping, map_to_tiles, pad_to_tile
 from .ops.raster import RasterOut, rasterize, rasterize_with_tiles
 from .models import (Rendering, render_gaussians, render_projected,
-                     viewspace_gradient)
+                     render_with_heuristics, viewspace_gradient)
 from .utils import runtime  # the reference's TaichiQueue role (init/debug)
 
 __all__ = [
@@ -40,5 +40,6 @@ __all__ = [
     "Rendering",
     "render_gaussians",
     "render_projected",
+    "render_with_heuristics",
     "viewspace_gradient",
 ]

@@ -27,7 +27,8 @@ from ..config import RasterConfig
 from ..data_types import Gaussians2D
 from ..models.renderer2d import (point_basis, project_gaussians2d,
                                  uniform_split_gaussians2d)
-from ..ops.raster import rasterize
+from ..ops.mapper import map_to_tiles
+from ..ops.raster import rasterize_with_tiles
 from ..optim import ParameterClass, VisibilityAwareLaProp
 from ..utils.random_data import random_2d_gaussians
 
@@ -112,29 +113,32 @@ def train_epoch(params: ParameterClass, ref_image: jax.Array,
   """One epoch of fitting at fixed N (reference train_epoch, :89-146).
 
   Returns (params, rendered image, summed heuristics (N, 2), last-step
-  visibility (N,), mean loss)."""
+  visibility (N,), mean loss, overflow flag — True if any step's tile
+  mapping exceeded capacity, i.e. results were cropped)."""
   n = params.num_points
   w, h = image_size
 
   def loss_fn(tensors, sink):
     g = tensors_to_gaussians(tensors)
     packed = project_gaussians2d(g)
-    out = rasterize(packed, jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0),
-                    g.feature, image_size, config, heuristic_sink=sink)
+    mapping = map_to_tiles(packed, jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0),
+                           image_size, config)
+    out = rasterize_with_tiles(packed, g.feature, mapping, image_size,
+                               config, heuristic_sink=sink)
     image = jax.nn.sigmoid(out.image)
 
     scale = jnp.exp(g.log_scaling) / min(w, h)
     loss = (jnp.mean((image - ref_image) ** 2)
             + opacity_reg * jnp.mean(jax.nn.sigmoid(g.alpha_logit))
             + scale_reg * jnp.mean(scale ** 2))
-    return loss, (image, out)
+    return loss, (image, out, mapping.overflow)
 
   grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
   def step(carry, _):
     params, heur_acc = carry
     sink = jnp.zeros((n, 2), jnp.float32)
-    (loss, (image, out)), (grads, heur) = grad_fn(
+    (loss, (image, out, overflow)), (grads, heur) = grad_fn(
         {k: params.tensors[k] for k in TENSOR_KEYS}, sink)
 
     basis = point_basis(tensors_to_gaussians(params.tensors))
@@ -147,13 +151,14 @@ def train_epoch(params: ParameterClass, ref_image: jax.Array,
         rotation=rot,
         log_scaling=jnp.clip(params.tensors["log_scaling"], -5, 5))
 
-    return (params, heur_acc + heur), (loss, image, out.visibility)
+    return (params, heur_acc + heur), (loss, image, out.visibility, overflow)
 
-  (params, heuristics), (losses, images, vis) = jax.lax.scan(
+  (params, heuristics), (losses, images, vis, overflows) = jax.lax.scan(
       step, (params, jnp.zeros((n, 2), jnp.float32)), None,
       length=epoch_size)
 
-  return params, images[-1], heuristics, vis[-1], jnp.mean(losses)
+  return (params, images[-1], heuristics, vis[-1], jnp.mean(losses),
+          jnp.any(overflows))
 
 
 def make_parameter_class(gaussians: Gaussians2D, base_lr: float = 0.1,
@@ -223,10 +228,13 @@ def fit(ref_image: jax.Array, n: int = 1000, target: Optional[int] = None,
     params = params.set_learning_rate(position=log_lerp(t, base_lr, base_lr * 0.1))
 
     t0 = time.time()
-    params, image, heuristics, vis, loss = train_epoch(
+    params, image, heuristics, vis, loss, overflow = train_epoch(
         params, ref_image, image_size, config, epoch_size=epoch_size,
         opacity_reg=opacity_reg, scale_reg=scale_reg)
     jax.block_until_ready(image)
+    if bool(overflow):
+      log(f"WARNING: tile-mapper capacity overflow in epoch {i} — "
+          "results cropped; increase capacity (map_to_tiles) for this N")
     iteration += epoch_size
 
     metrics = dict(n=params.num_points,

@@ -226,6 +226,41 @@ def render_gaussians(gaussians: Gaussians3D,
       padded_capacity=padded_capacity)
 
 
+def render_with_heuristics(loss_fn, gaussians: Gaussians3D,
+                           camera_params: CameraParams,
+                           config: RasterConfig,
+                           **render_kwargs):
+  """Render + backward in one call, returning the per-point heuristics.
+
+  The reference surfaces (prune_cost, split_score) by mutating the output
+  record during loss.backward() (reference renderer.py:87-95,
+  rasterizer/function.py:71-78); functionally, they are the cotangent of
+  the zero heuristic-sink input. This helper runs the full fwd+bwd and
+  returns `(loss, grads, rendering)` where `rendering.point_heuristic`
+  is populated — so `rendering.prune_cost` / `rendering.split_score`
+  work exactly like the reference's post-backward reads.
+
+  Args:
+    loss_fn: Rendering -> scalar loss
+    render_kwargs: forwarded to render_gaussians (render_depth, ...)
+
+  Returns:
+    (loss, grads (Gaussians3D cotangent), rendering with point_heuristic)
+  """
+  cfg = config.replace(compute_point_heuristic=True)
+  n = gaussians.position.shape[0]
+  sink = jnp.zeros((n, 2), gaussians.position.dtype)
+
+  def wrapped(g, s):
+    r = render_gaussians(g, camera_params, cfg, heuristic_sink=s,
+                         **render_kwargs)
+    return loss_fn(r), r
+
+  (loss, rendering), (grads, heuristic) = jax.value_and_grad(
+      wrapped, argnums=(0, 1), has_aux=True)(gaussians, sink)
+  return loss, grads, rendering.replace(point_heuristic=heuristic)
+
+
 def viewspace_gradient(grad_gaussians2d: jax.Array) -> jax.Array:
   """||dL/dxy|| per point from a gaussians2d gradient (the classic 3DGS
   densification signal; reference renderer.py:234-239 — there it reads

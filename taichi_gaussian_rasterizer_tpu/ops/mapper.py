@@ -323,7 +323,6 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   ends = jnp.searchsorted(sorted_tiles, tile_ids,
                           side="right").astype(jnp.int32)
   tile_counts = ends - starts
-  total = ends[-1] - jnp.where(n_tiles > 0, starts[0], 0)
   total = jnp.sum(tile_counts)
 
   # ---- chunk-aligned padded layout via gather ----
@@ -373,11 +372,17 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   # never needs the tail — truncate to cut its gather/cumsum cost
   reduce_width = int(round_up(min(capacity, k_pad), chunk))
   point_perm = point_perm[:reduce_width]
+  # the truncated reduction can only cover `reduce_width` real overlaps;
+  # beyond that, gradients/visibility would be silently dropped — flag it
+  overflow = overflow | (total > reduce_width)
   # accepted counts per original point: invert the bucket permutation
   counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(accepted_s)
   point_offsets = jnp.concatenate(
       [jnp.zeros((1,), jnp.int32),
        jnp.cumsum(counts_orig).astype(jnp.int32)])
+  # clamp so the reduction's boundary gather stays in bounds when
+  # truncating (degrades to dropped tail gradients, never NaN)
+  point_offsets = jnp.minimum(point_offsets, reduce_width)
 
   return TileMapping(
       overlap_to_point=overlap_to_point,

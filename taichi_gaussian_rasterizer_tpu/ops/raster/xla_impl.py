@@ -47,7 +47,10 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
                         compute_visibility: bool = False):
   """Rasterize with plain XLA ops.
 
-  Returns (image (H, W, F), image_weight (H, W), visibility (N,) or None).
+  Returns (image (H, W, F), image_weight (H, W), visibility (N,) or None,
+  bin_overflow () bool — True when any tile bin exceeds
+  max_points_per_tile, i.e. overlaps were silently dropped and the caller
+  should re-run with a larger bound).
   """
   n, f = features.shape
   dtype = points.dtype
@@ -105,4 +108,5 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
   if compute_visibility:
     visibility = jax.ops.segment_sum(
         vis_all.reshape(-1), idx_all.reshape(-1), num_segments=n + 1)[:n]
-  return image, weight, visibility
+  bin_overflow = jnp.any(counts > mb)
+  return image, weight, visibility, bin_overflow

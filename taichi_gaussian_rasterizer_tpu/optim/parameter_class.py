@@ -46,7 +46,7 @@ class OptimizerSpec:
   FractionalAdam/LaProp, SparseAdam/LaProp, VisibilityAwareAdam/LaProp)."""
   kernel: str = "adam"          # adam | laprop
   visibility_aware: bool = False
-  vis_beta: float = 0.5
+  vis_beta: float = 0.9  # matches the reference VisibilityOptimizer default
   vis_smooth: float = 0.01
   grad_scale: float = 1.0
 

@@ -63,20 +63,23 @@ def dp_train_step(mesh: Mesh,
                   image_size: Tuple[int, int],
                   local_batch: int = 1,
                   use_sh: bool = False,
+                  depth_range: Tuple[float, float] = (0.1, 1000.0),
                   axis_name: str = "data"):
   """Build a jitted data-parallel 3D training step.
 
   The returned function has signature
     step(params: ParameterClass, projections (B, 4), t_camera_worlds
-         (B, 4, 4), targets (B, H, W, 3), near, far) -> (params, loss)
+         (B, 4, 4), targets (B, H, W, 3)) -> (params, loss)
   with B = mesh size * local_batch; cameras/targets sharded over
   `axis_name`, parameters replicated, gradients psum-averaged.
+  `depth_range` is the cameras' (near, far) clip range.
   """
+  near, far = depth_range
 
   def local_loss(tensors: Dict[str, jax.Array], projection, t_cam, target):
     g = Gaussians3D(**tensors)
     cam = CameraParams(projection=projection, T_camera_world=t_cam,
-                       near_plane=0.1, far_plane=1000.0,
+                       near_plane=near, far_plane=far,
                        image_size=image_size)
     r = render_gaussians(g, cam, config, use_sh=use_sh)
     return jnp.mean((r.image - target) ** 2), r

@@ -13,6 +13,8 @@ from jax.test_util import check_grads
 
 from taichi_gaussian_rasterizer_tpu.ops import lib
 
+pytestmark = pytest.mark.quick
+
 
 def rand(key, *shape):
   return jax.random.normal(key, shape, dtype=jnp.float64)

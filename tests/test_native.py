@@ -1,11 +1,14 @@
 """Native host library tests (csrc/tgr_host.cpp via ctypes)."""
 
+import os
 import struct
 
 import numpy as np
 import pytest
 
 from taichi_gaussian_rasterizer_tpu.io import native
+
+pytestmark = pytest.mark.quick
 
 
 @pytest.fixture(scope="module")
@@ -110,3 +113,15 @@ def test_load_gaussians_ply(lib, tmp_path):
   # morton order actually permutes
   assert not np.allclose(np.asarray(g.position),
                          data[:, :3])
+
+
+def test_ply_truncated_read_fails(lib, tmp_path):
+  """A PLY whose payload is shorter than the header promises must raise,
+  not silently return garbage in the tail (tgr_host.cpp short-read)."""
+  path = str(tmp_path / "trunc.ply")
+  write_test_ply(path, n=100)
+  size = os.path.getsize(path)
+  with open(path, "r+b") as f:
+    f.truncate(size - 64)
+  with pytest.raises(IOError):
+    native.load_ply(path)

@@ -78,7 +78,7 @@ def test_xla_raster_matches_naive(seed, antialias):
   mapping = map_to_tiles(points, depth, image_size, config)
   assert not bool(mapping.overflow)
 
-  image, weight, vis = rasterize_tiles_xla(
+  image, weight, vis, _ = rasterize_tiles_xla(
       points, feats, mapping, image_size, config,
       max_points_per_tile=64, compute_visibility=True)
 
@@ -89,7 +89,7 @@ def test_xla_raster_matches_naive(seed, antialias):
   # visibility identity (reference tests/test_visibility.py:34-64):
   # d(sum image)/d(features) summed per point == forward visibility
   def total(f):
-    img, _, _ = rasterize_tiles_xla(points, f, mapping, image_size, config,
+    img, _, _, _ = rasterize_tiles_xla(points, f, mapping, image_size, config,
                                     max_points_per_tile=64)
     return jnp.sum(img)
 
@@ -116,7 +116,7 @@ def test_xla_raster_saturation():
   feats = jax.random.uniform(key, (n, 3), jnp.float64)
 
   mapping = map_to_tiles(points, depth, image_size, config)
-  image, weight, _ = rasterize_tiles_xla(points, feats, mapping, image_size,
+  image, weight, _, _ = rasterize_tiles_xla(points, feats, mapping, image_size,
                                          config, max_points_per_tile=64)
   ref_img, ref_w = naive_blend(points, depth, feats, image_size, config)
   np.testing.assert_allclose(np.asarray(image), ref_img, rtol=1e-9)
@@ -142,7 +142,7 @@ def test_xla_raster_median_mode():
   feats = depth[:, None]  # feature = depth -> median depth
 
   mapping = map_to_tiles(points, depth, image_size, config)
-  image, weight, _ = rasterize_tiles_xla(points, feats, mapping, image_size,
+  image, weight, _, _ = rasterize_tiles_xla(points, feats, mapping, image_size,
                                          config, max_points_per_tile=16)
   # total weight after k points ~ 1-(1-.4)^k: crosses 0.5 at k=2 -> median
   # is the 2nd point's feature (0.2) at the center
@@ -157,7 +157,7 @@ def test_xla_raster_gradcheck():
   mapping = map_to_tiles(points, depth, image_size, config)
 
   def render(pts, f):
-    img, w, _ = rasterize_tiles_xla(pts, f, mapping, image_size, config,
+    img, w, _, _ = rasterize_tiles_xla(pts, f, mapping, image_size, config,
                                     max_points_per_tile=32)
     return jnp.sum(img ** 2)
 

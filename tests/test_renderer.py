@@ -159,3 +159,31 @@ def test_rendering_is_pytree():
   assert isinstance(r, Rendering)
   detached = r.detach()
   assert detached.image.shape == r.image.shape
+
+
+def test_render_with_heuristics_populates_record():
+  """The post-backward heuristics must be readable from the Rendering
+  record, as in the reference (renderer.py:87-95): prune_cost/split_score
+  are non-None, finite, and nonzero for visible points."""
+  import jax.numpy as jnp
+  from taichi_gaussian_rasterizer_tpu import (
+      RasterConfig, render_with_heuristics)
+
+  camera = small_camera()
+  g = random_3d_gaussians(jax.random.PRNGKey(7), 40, camera,
+                          dtype=jnp.float64)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+
+  loss, grads, rendering = render_with_heuristics(
+      lambda r: jnp.sum(r.image ** 2), g, camera, config)
+
+  assert rendering.point_heuristic is not None
+  pc, ss = rendering.prune_cost, rendering.split_score
+  assert pc.shape == (40,) and ss.shape == (40,)
+  assert bool(jnp.isfinite(pc).all()) and bool(jnp.isfinite(ss).all())
+  assert float(jnp.abs(pc).sum()) > 0 and float(jnp.abs(ss).sum()) > 0
+  assert bool(jnp.isfinite(loss))
+  assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(grads))
+  # visibility rides along with heuristics (compute_point_heuristic
+  # implies compute_visibility)
+  assert rendering.point_visibility is not None

@@ -10,6 +10,8 @@ import pytest
 
 from taichi_gaussian_rasterizer_tpu.utils import checkpoint, morton, runtime
 
+pytestmark = pytest.mark.quick
+
 
 def numpy_morton(cells):
   """Independent bit-interleave oracle."""

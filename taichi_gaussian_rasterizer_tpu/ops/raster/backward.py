@@ -62,15 +62,20 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
   th, tw = tile_shape
   pt_rows = 16 if compute_point_heuristic else 8
 
-  def kernel(starts_ref, nchunks_ref,               # scalar prefetch
+  def kernel(starts_ref, nchunks_ref, nbwd_ref,     # scalar prefetch
              comb_hbm, grad_ref, e_ref,             # inputs
              gout_hbm,                              # output
-             comb_vmem, gout_vmem,                  # scratch
-             sem_c, sem_g):
+             comb_vmem, gout_vmem, zero_vmem,       # scratch
+             sem_c, sem_g, sem_z):
     t = pl.program_id(0)
     dtype = grad_ref.dtype
     start = starts_ref[t]
     nch = nchunks_ref[t]
+    # chunks >= nbwd have fully saturated pixels: their gated weights and
+    # gradients are exactly zero (blend.chunk_weights), so skip the
+    # compute + input DMA and zero-fill their gradient slots instead
+    # (the reference's warp-vote skip, reference backward.py:121-148)
+    nbwd = jnp.minimum(nch, nbwd_ref[t])
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = ((t % tw) * ts + lin % ts).astype(dtype) + 0.5
@@ -95,7 +100,7 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       return pltpu.make_async_copy(
           gout_vmem.at[slot], gout_hbm.at[:, pl.ds(off, g)], sem_g.at[slot])
 
-    @pl.when(nch > 0)
+    @pl.when(nbwd > 0)
     def _():
       chunk_in(0, 0).start()
 
@@ -103,7 +108,7 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       t_carry, c_carry = carry
       slot = jax.lax.rem(c, two)
 
-      @pl.when(c + 1 < nch)
+      @pl.when(c + 1 < nbwd)
       def _():
         chunk_in(c + 1, 1 - slot).start()
 
@@ -163,17 +168,46 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
 
     t0 = jnp.ones((p, 1), dtype)
     c0 = jnp.zeros((p, 1), dtype)
-    jax.lax.fori_loop(0, nch, body, (t0, c0))
+    jax.lax.fori_loop(0, nbwd, body, (t0, c0))
 
     # drain outstanding gradient writes before the next grid step reuses
     # the scratch slots
-    @pl.when(nch >= 2)
+    @pl.when(nbwd >= 2)
     def _():
-      chunk_out(nch - 2, jax.lax.rem(nch - 2, two)).wait()
+      chunk_out(nbwd - 2, jax.lax.rem(nbwd - 2, two)).wait()
 
-    @pl.when(nch >= 1)
+    @pl.when(nbwd >= 1)
     def _():
-      chunk_out(nch - 1, jax.lax.rem(nch - 1, two)).wait()
+      chunk_out(nbwd - 1, jax.lax.rem(nbwd - 1, two)).wait()
+
+    # zero-fill the skipped chunks' gradient slots (the reduction reads
+    # every slot; the HBM buffer is otherwise uninitialized there)
+    zero_vmem[...] = jnp.zeros_like(zero_vmem)
+
+    def zfill(c, slot):
+      off = pl.multiple_of(start + c * g, g)
+      return pltpu.make_async_copy(
+          zero_vmem, gout_hbm.at[:, pl.ds(off, g)], sem_z.at[slot])
+
+    def zbody(c, _):
+      slot = jax.lax.rem(c, two)
+
+      @pl.when(c - 2 >= nbwd)
+      def _():
+        zfill(c - 2, slot).wait()
+
+      zfill(c, slot).start()
+      return 0
+
+    jax.lax.fori_loop(nbwd, nch, zbody, 0)
+
+    @pl.when(nch - 2 >= nbwd)
+    def _():
+      zfill(nch - 2, jax.lax.rem(nch - 2, two)).wait()
+
+    @pl.when(nch - 1 >= nbwd)
+    def _():
+      zfill(nch - 1, jax.lax.rem(nch - 1, two)).wait()
 
   return kernel
 
@@ -185,12 +219,15 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
                            e_tiles: jax.Array,           # (T, P, 1)
                            mapping: TileMapping,
                            config: RasterConfig = None,
-                           compute_point_heuristic: bool = False):
+                           compute_point_heuristic: bool = False,
+                           satchunks: jax.Array = None):
   """Run the backward kernel over padded tile bins.
 
   grad_padded carries the feature-image cotangent rows, then the
   alpha-image cotangent row at index F, then zeros up to F_pad;
-  e_tiles[t, p, 0] = sum_c final_image[t, c, p] * grad_padded[t, c, p].
+  e_tiles[t, p, 0] = sum_c final_image[t, c, p] * grad_padded[t, c, p];
+  satchunks (T,) int32 is the forward's per-tile saturation chunk count
+  (chunks beyond it are zero-filled, not replayed); None replays all.
 
   Returns the combined per-slot gradient buffer (R, K_pad) — see the
   module docstring for the row layout; reduce with the mapping's
@@ -208,11 +245,13 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
 
   starts = mapping.tile_ranges[:, 0]
   nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
+  if satchunks is None:
+    satchunks = nchunks
 
   kernel = _backward_kernel(config, (th, tw), f_pad, compute_point_heuristic)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=2,
+      num_scalar_prefetch=3,
       grid=(n_tiles,),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
@@ -225,6 +264,8 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
       scratch_shapes=[
           pltpu.VMEM((2, gathered.shape[0], g), dtype),  # double-buffered in
           pltpu.VMEM((2, rows, g), dtype),               # double-buffered out
+          pltpu.VMEM((rows, g), dtype),                  # zero-fill block
+          pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
       ],
@@ -237,6 +278,6 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, nchunks, gathered, grad_padded, e_tiles)
+  )(starts, nchunks, satchunks, gathered, grad_padded, e_tiles)
 
   return gout

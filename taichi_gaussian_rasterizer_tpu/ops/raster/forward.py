@@ -108,7 +108,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
 
   def kernel(starts_ref, nchunks_ref,            # scalar prefetch (SMEM)
              comb_hbm,                           # input (ANY/HBM)
-             img_ref, vis_hbm,                   # outputs
+             img_ref, vis_hbm, satchunk_ref,     # outputs
              comb_vmem, vis_vmem,                # scratch
              sem_c, sem_v):
     t = pl.program_id(0)
@@ -192,17 +192,31 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       return compute_chunk(c, t_carry,
                            comb_vmem[0, 0:8, :], comb_vmem[0, 8:, :])
 
+    # satchunk_ref[t] = number of chunks the backward must replay: chunks
+    # past the first one where every pixel saturates have exactly-zero
+    # gated weights and gradients (blend.chunk_weights), so the backward
+    # can skip them (the reference's warp-vote early exit,
+    # /root/reference/taichi_splatting/rasterizer/backward.py:121-148).
     t0 = jnp.ones((p, 1), dtype)
     if early_exit:
       def cond(carry):
         c, t_carry = carry
         return (c < nch) & (jnp.max(t_carry) > 1 - stop_total)
 
-      jax.lax.while_loop(
+      final_c, _ = jax.lax.while_loop(
           cond, lambda cr: (cr[0] + 1, body_seq(cr[0], cr[1])),
           (jnp.int32(0), t0))
+      satchunk_ref[0, 0] = final_c
     else:
-      jax.lax.fori_loop(0, nch, body_db, t0)
+      def body_sat(c, carry):
+        t_carry, sat = carry
+        t_new = body_db(c, t_carry)
+        saturated = jnp.max(t_new) <= 1 - stop_total
+        sat = jnp.where((sat == nch) & saturated, c + 1, sat)
+        return t_new, sat
+
+      _, sat = jax.lax.fori_loop(0, nch, body_sat, (t0, nch))
+      satchunk_ref[0, 0] = sat
 
   return kernel
 
@@ -244,6 +258,8 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
           pl.BlockSpec((1, f + 1, p), lambda t, *_: (t, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((1, 1), lambda t, *_: (t, 0),
+                       memory_space=pltpu.VMEM),
       ],
       scratch_shapes=[
           pltpu.VMEM((2, 8 + f_pad, g), dtype),   # double-buffered chunks
@@ -253,16 +269,17 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
       ],
   )
 
-  tiled, vis = pl.pallas_call(
+  tiled, vis, satchunks = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
       out_shape=(
           jax.ShapeDtypeStruct((n_tiles, f + 1, p), dtype),
           jax.ShapeDtypeStruct((1, k_pad), dtype),
+          jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
       ),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
   )(starts, nchunks, gathered)
 
-  return tiled, (vis if compute_visibility else None)
+  return tiled, (vis if compute_visibility else None), satchunks[:, 0]

@@ -37,6 +37,8 @@ class RasterOut(NamedTuple):
   image_weight: jax.Array                 # (H, W) accumulated alpha
   point_heuristic: Optional[jax.Array]    # via heuristic-sink gradients
   visibility: Optional[jax.Array]         # (N,) total blend weight
+  bin_overflow: Optional[jax.Array] = None  # xla impl: tile bin exceeded
+                                            # max_points_per_tile
 
 
 def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
@@ -65,7 +67,7 @@ def _float0_like(tree):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _raster_core(config: RasterConfig, compute_visibility: bool,
                  points, features, heuristic_sink, mapping: TileMapping):
-  tiled, vis = rasterize_tiles_pallas(
+  tiled, vis, _satchunks = rasterize_tiles_pallas(
       points, features, mapping, config,
       compute_visibility=compute_visibility)
   if vis is None:
@@ -75,18 +77,21 @@ def _raster_core(config: RasterConfig, compute_visibility: bool,
 
 def _raster_core_fwd(config, compute_visibility, points, features,
                      heuristic_sink, mapping):
-  out = _raster_core(config, compute_visibility, points, features,
-                     heuristic_sink, mapping)
+  tiled, vis, satchunks = rasterize_tiles_pallas(
+      points, features, mapping, config,
+      compute_visibility=compute_visibility)
+  if vis is None:
+    vis = jnp.zeros((1, mapping.overlap_to_point.shape[0]), points.dtype)
   # the combined gathered buffer is saved as a residual (XLA CSEs it with
   # the forward's own gather): gathers cost ~20ns/row on TPU, so
   # re-gathering in the backward would be a large fraction of the whole
-  # backward pass
+  # backward pass. satchunks lets the backward skip saturated chunks.
   gathered = gather_combined(points, features, mapping)
-  return out, (gathered, out[0], mapping)
+  return (tiled, vis), (gathered, tiled, satchunks, mapping)
 
 
 def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
-  gathered, tiled, mapping = residuals
+  gathered, tiled, satchunks, mapping = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
   n = mapping.point_sentinel
@@ -106,7 +111,7 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
 
   gout = raster_backward_pallas(
       gathered, grad_padded, e_tiles, mapping, config=config,
-      compute_point_heuristic=compute_heuristic)
+      compute_point_heuristic=compute_heuristic, satchunks=satchunks)
 
   per_point = reduce_slots_by_point(gout, mapping)           # (N, R)
   pt_rows = 16 if compute_heuristic else 8
@@ -156,11 +161,11 @@ def rasterize_with_tiles(
   if impl == "xla":
     from .xla_impl import rasterize_tiles_xla
     assert max_points_per_tile is not None, "xla impl needs max_points_per_tile"
-    image, weight, vis = rasterize_tiles_xla(
+    image, weight, vis, bin_overflow = rasterize_tiles_xla(
         gaussians2d, features, mapping, image_size, config,
         max_points_per_tile=max_points_per_tile,
         compute_visibility=compute_visibility)
-    return RasterOut(image, weight, None, vis)
+    return RasterOut(image, weight, None, vis, bin_overflow)
 
   if heuristic_sink is None:
     heuristic_sink = jnp.zeros((n, 2), gaussians2d.dtype)

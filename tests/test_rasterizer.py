@@ -173,3 +173,70 @@ def test_depth16_render_close():
                   use_depth16=True)
   np.testing.assert_allclose(np.asarray(d16.image), np.asarray(full.image),
                              atol=5e-3)
+
+
+def test_overflow_truncates_without_nan():
+  """When real overlaps exceed the mapper's reduction capacity, the
+  overflow flag must be set and gradients must degrade to truncation —
+  never NaN (regression: out-of-bounds offsets gather filled NaN while
+  overflow stayed False for capacity < overlaps <= k_pad)."""
+  image_size = (128, 128)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth, feats = scene(13, 16, image_size)
+  # blow up footprints so 16 gaussians produce hundreds of overlaps
+  points = points.at[:, 4:6].mul(8.0)
+
+  mapping = map_to_tiles(points, depth, image_size, config, capacity=64)
+  assert int(mapping.total_overlaps) > 64
+  assert bool(mapping.overflow)
+
+  def loss(pts, f):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config)
+    return jnp.sum(out.image ** 2)
+
+  grads = jax.grad(loss, argnums=(0, 1))(points, feats)
+  for g in grads:
+    assert bool(jnp.isfinite(g).all()), "overflow must truncate, not NaN"
+
+
+def test_backward_saturation_skip_exact():
+  """With heavy overdraw the forward reports saturated tiles
+  (satchunks < nchunks) and the backward skips their tails; gradients
+  must still match the XLA oracle exactly (post-saturation gradients are
+  gated to zero, so skipping is lossless)."""
+  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import (
+      cdiv_i32, rasterize_tiles_pallas)
+
+  image_size = (32, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        saturate_threshold=0.999)
+  n = 64
+  key = jax.random.PRNGKey(21)
+  # opaque gaussians piled on the same spot -> saturates in ~2 chunks
+  points = jnp.concatenate([
+      16.0 + 4.0 * jax.random.normal(key, (n, 2), jnp.float64),
+      jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float64), (n, 1)),
+      jnp.full((n, 2), 20.0, jnp.float64),
+      jnp.full((n, 1), 0.95, jnp.float64),
+  ], axis=1)
+  depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
+  feats = jax.random.uniform(jax.random.PRNGKey(22), (n, 3), jnp.float64)
+
+  mapping = map_to_tiles(points, depth, image_size, config)
+  _, _, satchunks = rasterize_tiles_pallas(points, feats, mapping, config)
+  nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - mapping.tile_ranges[:, 0],
+                     config.points_per_chunk)
+  assert int(jnp.sum(satchunks < nchunks)) > 0, (
+      "saturation skip never engaged; the scene must overdraw harder")
+
+  def loss(pts, f, impl):
+    kw = dict(max_points_per_tile=128) if impl == "xla" else {}
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                               impl=impl, **kw)
+    return jnp.sum(out.image ** 2) + jnp.sum(out.image_weight)
+
+  g_pallas = jax.grad(loss, argnums=(0, 1))(points, feats, "pallas")
+  g_xla = jax.grad(loss, argnums=(0, 1))(points, feats, "xla")
+  for gp, gx in zip(g_pallas, g_xla):
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-7, atol=1e-9)

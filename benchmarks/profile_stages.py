@@ -83,9 +83,14 @@ def main():
                         pts, g.feature, iters=args.iters)
   print(f"combined gather: {ms:.2f} ms")
 
-  (tiled, _), ms = timeit(lambda p, f: rasterize_tiles_pallas(
+  (tiled, _, satchunks), ms = timeit(lambda p, f: rasterize_tiles_pallas(
       p, f, mapping, config), pts, g.feature, iters=args.iters)
-  print(f"raster fwd (incl gather): {ms:.2f} ms")
+  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import cdiv_i32
+  nch = cdiv_i32(mapping.tile_ranges[:, 1] - mapping.tile_ranges[:, 0],
+                 config.points_per_chunk)
+  print(f"raster fwd (incl gather): {ms:.2f} ms  "
+        f"sat-skipped chunks: {int(jnp.sum(nch - jnp.minimum(nch, satchunks)))}"
+        f"/{int(jnp.sum(nch))}")
   if args.check:
     finite("raster fwd", tiled)
 
@@ -104,7 +109,8 @@ def main():
 
   gout, ms = timeit(
       lambda a, b, c: raster_backward_pallas(a, b, c, mapping,
-                                             config=config),
+                                             config=config,
+                                             satchunks=satchunks),
       gathered, grad_padded, e_tiles, iters=args.iters)
   print(f"raster bwd kernel: {ms:.2f} ms")
   if args.check:
@@ -159,9 +165,11 @@ def profile_extras(args=None):
   k_pad = mapping.overlap_to_point.shape[0]
   slots = jax.random.normal(jax.random.PRNGKey(4), (16, k_pad))
 
-  grouped_fn = jax.jit(lambda s: jnp.take(s, mapping.point_perm, axis=1))
-  _, ms = timeit(grouped_fn, slots)
-  print(f"reduction: perm gather ({mapping.point_perm.shape[0]/1e6:.1f}M): "
+  sort_fn = jax.jit(lambda s: jax.lax.sort(
+      (mapping.overlap_to_point,) + tuple(s[i] for i in range(s.shape[0])),
+      num_keys=1))
+  _, ms = timeit(sort_fn, slots)
+  print(f"reduction: payload sort ({k_pad/1e6:.1f}M x {slots.shape[0]}): "
         f"{ms:.2f} ms")
   red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
   _, ms = timeit(red, slots)

@@ -100,10 +100,13 @@ class TileMapping:
   (== N), indexing a zero-alpha padding row that the raster kernels treat
   as an exact no-op.
 
-  point_perm / point_offsets support the gradient reduction: ordering the
-  overlap slots by point_perm groups them by original point index, with
-  point i's group at [point_offsets[i], point_offsets[i+1]) (sentinel
-  slots group at the end).
+  point_offsets / reduce_width support the gradient reduction
+  (raster/function.py reduce_slots_by_point): sorting slots by
+  overlap_to_point groups them by original point index, with point i's
+  group at [point_offsets[i], point_offsets[i+1]) and sentinel slots at
+  the end; only the first `reduce_width` sorted slots can hold real
+  overlaps (overflow is flagged otherwise), so the reduction truncates
+  there.
   """
   overlap_to_point: jax.Array  # (K_pad,) int32, point index or N (sentinel)
   tile_ranges: jax.Array       # (TH*TW, 2) int32 [start, end) per tile
@@ -114,8 +117,10 @@ class TileMapping:
   overflow: jax.Array          # () bool: capacity exceeded / footprint
                                # cropped -- results valid but incomplete
   point_sentinel: int          # == N (static)
-  point_perm: jax.Array        # (K_pad,) int32 slot order grouped by point
-  point_offsets: jax.Array     # (N+1,) int32 segment starts in perm order
+  reduce_width: int            # static bound on real overlaps (reduction
+                               # truncation width)
+  point_offsets: jax.Array     # (N+1,) int32 segment starts in point-
+                               # sorted slot order, clamped to reduce_width
 
   @property
   def tile_ranges_2d(self) -> jax.Array:
@@ -126,8 +131,8 @@ class TileMapping:
 jax.tree_util.register_dataclass(
     TileMapping,
     data_fields=["overlap_to_point", "tile_ranges", "total_overlaps",
-                 "total_padded", "overflow", "point_perm", "point_offsets"],
-    meta_fields=["tile_shape", "point_sentinel"])
+                 "total_padded", "overflow", "point_offsets"],
+    meta_fields=["tile_shape", "point_sentinel", "reduce_width"])
 
 
 def _footprint(points: jax.Array, image_size, tile_size: int,
@@ -363,15 +368,13 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       [jnp.minimum(padded_starts, k_pad),
        jnp.minimum(padded_starts + tile_counts, k_pad)], axis=1)
 
-  # ---- point-major permutation + offsets for gradient reduction ----
-  _, point_perm = jax.lax.sort(
-      (overlap_to_point, jnp.arange(k_pad, dtype=jnp.int32)), num_keys=1,
-      is_stable=True)
-  # sentinel slots group at the end; only the first `capacity` entries can
-  # hold real overlaps (overflow is flagged otherwise), so the reduction
-  # never needs the tail — truncate to cut its gather/cumsum cost
+  # ---- segment offsets for the sort-based gradient reduction ----
+  # (the reduction itself sorts slot VALUES by overlap_to_point in
+  # raster/function.py — on TPU, carrying values through lax.sort is
+  # ~3x cheaper than a point-permutation gather afterwards)
+  # only the first `capacity` sorted entries can hold real overlaps
+  # (overflow is flagged otherwise), so the reduction truncates there
   reduce_width = int(round_up(min(capacity, k_pad), chunk))
-  point_perm = point_perm[:reduce_width]
   # the truncated reduction can only cover `reduce_width` real overlaps;
   # beyond that, gradients/visibility would be silently dropped — flag it
   overflow = overflow | (total > reduce_width)
@@ -392,7 +395,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       total_padded=total_padded,
       overflow=overflow,
       point_sentinel=n,
-      point_perm=point_perm,
+      reduce_width=reduce_width,
       point_offsets=point_offsets)
 
 

@@ -206,7 +206,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       final_c, _ = jax.lax.while_loop(
           cond, lambda cr: (cr[0] + 1, body_seq(cr[0], cr[1])),
           (jnp.int32(0), t0))
-      satchunk_ref[0, 0] = final_c
+      satchunk_ref[t] = final_c
     else:
       def body_sat(c, carry):
         t_carry, sat = carry
@@ -216,7 +216,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
         return t_new, sat
 
       _, sat = jax.lax.fori_loop(0, nch, body_sat, (t0, nch))
-      satchunk_ref[0, 0] = sat
+      satchunk_ref[t] = sat
 
   return kernel
 
@@ -258,8 +258,7 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
           pl.BlockSpec((1, f + 1, p), lambda t, *_: (t, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec((1, 1), lambda t, *_: (t, 0),
-                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile scalar
       ],
       scratch_shapes=[
           pltpu.VMEM((2, 8 + f_pad, g), dtype),   # double-buffered chunks
@@ -275,11 +274,11 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
       out_shape=(
           jax.ShapeDtypeStruct((n_tiles, f + 1, p), dtype),
           jax.ShapeDtypeStruct((1, k_pad), dtype),
-          jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+          jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
       ),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
   )(starts, nchunks, gathered)
 
-  return tiled, (vis if compute_visibility else None), satchunks[:, 0]
+  return tiled, (vis if compute_visibility else None), satchunks

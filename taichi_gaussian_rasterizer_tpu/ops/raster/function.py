@@ -44,13 +44,21 @@ class RasterOut(NamedTuple):
 def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
   """(R, K_pad) per-overlap-slot values -> (N, R) per-point sums.
 
-  Uses the mapping's point-major permutation + segment offsets: gather
-  into point-grouped order, one cumulative sum, and a prefix difference
-  per segment. All gathers/cumsums — no scatter-add."""
-  grouped = jnp.take(slots, mapping.point_perm, axis=1)      # (R, W)
+  Segment-sum without scatter-add OR a permutation gather: the slot
+  VALUES ride as payloads through one lax.sort keyed on the slot's point
+  index (measured on TPU v5e: payload columns cost ~2 ms each at 4M,
+  vs ~25 ns/idx for the round-1 point_perm gather — ~3x cheaper), then
+  one cumulative sum and a prefix difference at the mapper's per-point
+  segment offsets. Sentinel/overflow slots sort past `reduce_width` and
+  are truncated (their values are exact zeros by kernel construction)."""
+  r = slots.shape[0]
+  ops = jax.lax.sort(
+      (mapping.overlap_to_point,) + tuple(slots[i] for i in range(r)),
+      num_keys=1)
+  grouped = jnp.stack(ops[1:], axis=0)[:, :mapping.reduce_width]  # (R, W)
   pref = jnp.cumsum(grouped, axis=1)
   pref = jnp.concatenate(
-      [jnp.zeros((slots.shape[0], 1), slots.dtype), pref], axis=1)
+      [jnp.zeros((r, 1), slots.dtype), pref], axis=1)
   # one gather at the (N+1) segment boundaries, then a shifted difference
   at_offsets = jnp.take(pref, mapping.point_offsets, axis=1)  # (R, N+1)
   out = at_offsets[:, 1:] - at_offsets[:, :-1]
@@ -113,15 +121,23 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
       gathered, grad_padded, e_tiles, mapping, config=config,
       compute_point_heuristic=compute_heuristic, satchunks=satchunks)
 
-  per_point = reduce_slots_by_point(gout, mapping)           # (N, R)
+  # reduce only the live rows (7 point grads [+2 heuristics] + F feature
+  # grads) — padding rows and the alpha pseudo-grad row never leave slot
+  # space, keeping the reduction sort payload count minimal
   pt_rows = 16 if compute_heuristic else 8
+  sel = [gout[0:7]]
+  if compute_heuristic:
+    sel.append(gout[8:10])
+  sel.append(gout[pt_rows:pt_rows + f])
+  per_point = reduce_slots_by_point(jnp.concatenate(sel, axis=0), mapping)
 
   grad_points = per_point[:, :7]
-  gf = per_point[:, pt_rows:pt_rows + f]
   if compute_heuristic:
-    heuristic = per_point[:, 8:10]
+    heuristic = per_point[:, 7:9]
+    gf = per_point[:, 9:9 + f]
   else:
     heuristic = jnp.zeros((n, 2), dtype)
+    gf = per_point[:, 7:7 + f]
 
   return (grad_points, gf, heuristic, _float0_like(mapping))
 

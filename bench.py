@@ -26,7 +26,7 @@ BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
 
 def bench_scene(n, image_size, config, iters=20):
   from taichi_gaussian_rasterizer_tpu import (
-      map_to_tiles, project_to_image, render_gaussians)
+      map_to_tiles, probe_emit_tails, project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.utils import morton
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
       random_camera, random_3d_gaussians)
@@ -42,20 +42,23 @@ def bench_scene(n, image_size, config, iters=20):
   # with a snug static capacity (the documented resize-on-overflow flow)
   pts, depth, _ = jax.jit(
       lambda g: project_to_image(g, camera, config))(gaussians)
+  emit_tails = probe_emit_tails(pts, camera.image_size, config)
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
-                           capacity=6 * n)
+                           capacity=6 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
   padded = int(probe_map.total_padded)
   capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
   padded_capacity = int((int(padded * 1.1) + 1023) // 1024 * 1024)
   print(f"n={n}: overlaps={total} padded={padded} -> capacity={capacity} "
-        f"padded_capacity={padded_capacity}", file=sys.stderr)
+        f"padded_capacity={padded_capacity} emit_tails={emit_tails}",
+        file=sys.stderr)
 
   @jax.jit
   def train_frame(gaussians, g_image):
     def loss(g):
       r = render_gaussians(g, camera, config, capacity=capacity,
-                           padded_capacity=padded_capacity)
+                           padded_capacity=padded_capacity,
+                           emit_tails=emit_tails)
       return jnp.vdot(r.image, g_image)
 
     g = jax.grad(loss)(gaussians)

@@ -117,27 +117,29 @@ def main():
   k_pad = int(M.round_up(3 * n, chunk) + tw * th * chunk)
 
   def stage5(st, sp, starts, ends):
+    # mirrors mapper.py's padded-layout build (step functions + gather)
     counts = ends - starts
     padded = M.cdiv(counts, chunk) * chunk
     pstarts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    t_of = M._segment_ids_from_starts(jnp.minimum(pstarts, k_pad), k_pad)
-    t_of = jnp.clip(t_of, 0, tw * th - 1)
-    within = jnp.arange(k_pad, dtype=jnp.int32) - pstarts[t_of]
-    src = starts[t_of] + within
-    live = within < counts[t_of]
+    clipped = jnp.minimum(pstarts, k_pad)
+
+    def step_fn(values):
+      buf = jnp.zeros((k_pad,), jnp.int32).at[clipped].max(values,
+                                                           mode="drop")
+      return jax.lax.cummax(buf)
+
+    pstart_of = step_fn(clipped)
+    sstart_of = step_fn(starts)
+    send_of = step_fn(ends)
+    slot = jnp.arange(k_pad, dtype=jnp.int32)
+    src = sstart_of + (slot - pstart_of)
+    live = src < send_of
     pos_ext = jnp.concatenate([sp, jnp.asarray([n], jnp.int32)])
     src = jnp.where(live, src, sp.shape[0])
     return pos_ext[src]
 
   otp, ms = timeit(jax.jit(stage5), st, sp, starts, ends)
   print(f"5 relayout gather (k_pad={k_pad / 1e6:.2f}M): {ms:.1f} ms")
-
-  def stage6(otp):
-    return jax.lax.sort((otp, jnp.arange(k_pad, dtype=jnp.int32)),
-                        num_keys=1, is_stable=True)[1]
-
-  _, ms = timeit(jax.jit(stage6), otp)
-  print(f"6 point_perm sort: {ms:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -41,6 +41,7 @@ def main():
   p.add_argument("--cpu", action="store_true")
   p.add_argument("--check", action="store_true", help="finiteness checks")
   p.add_argument("--depth16", action="store_true")
+  p.add_argument("--snug_tails", action="store_true")
   args = p.parse_args()
   if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -71,9 +72,14 @@ def main():
   if args.check:
     finite("projection", (pts, depth))
 
+  emit_tails = None
+  if args.snug_tails:
+    from taichi_gaussian_rasterizer_tpu import probe_emit_tails
+    emit_tails = probe_emit_tails(pts, image_size, config)
+    print(f"emit_tails: {emit_tails}")
   mapper = jax.jit(partial(map_to_tiles, image_size=image_size,
                            config=config, capacity=capacity,
-                           use_depth16=args.depth16))
+                           use_depth16=args.depth16, emit_tails=emit_tails))
   mapping, ms = timeit(mapper, pts, depth[:, 0], iters=args.iters)
   print(f"mapper: {ms:.2f} ms  overlaps={int(mapping.total_overlaps)} "
         f"overflow={bool(mapping.overflow)} "
@@ -116,9 +122,12 @@ def main():
   if args.check:
     finite("raster bwd", gout)
 
+  # mirror the real backward: only live rows enter the reduction
+  f_rows = g.feature.shape[1]
+  sel = jnp.concatenate([gout[0:7], gout[8:8 + f_rows]], axis=0)
   red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
-  _, ms = timeit(red, gout, iters=args.iters)
-  print(f"point reduction ({gout.shape[0]} rows): {ms:.2f} ms")
+  _, ms = timeit(red, sel, iters=args.iters)
+  print(f"point reduction ({sel.shape[0]} rows): {ms:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,8 @@ from .config import RasterConfig
 from .data_types import Gaussians3D, Gaussians2D, check_packed3d, check_packed2d
 from .ops import (CameraParams, project_to_image, project_points,
                   evaluate_sh_at)
-from .ops.mapper import TileMapping, map_to_tiles, pad_to_tile
+from .ops.mapper import (TileMapping, map_to_tiles, pad_to_tile,
+                         probe_emit_tails)
 from .ops.raster import RasterOut, rasterize, rasterize_with_tiles
 from .models import (Rendering, render_gaussians, render_projected,
                      render_with_heuristics, viewspace_gradient)
@@ -32,6 +33,7 @@ __all__ = [
     "evaluate_sh_at",
     "TileMapping",
     "map_to_tiles",
+    "probe_emit_tails",
     "pad_to_tile",
     "runtime",
     "RasterOut",

@@ -41,6 +41,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RasterConfig
 from . import lib
@@ -57,7 +58,9 @@ _TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 8, 1.0 / 32, 1.0 / 256)
 _N_ROUNDS = len(_BUDGETS)
 
 
-def _tail_size(n: int, r: int) -> int:
+def _tail_size(n: int, r: int, emit_tails=None) -> int:
+  if emit_tails is not None:
+    return n if r == 0 else min(n, int(emit_tails[r]))
   if n <= _SMALL_N:
     return n
   return min(n, int(math.ceil(n * _TAIL_FRACTIONS[r])))
@@ -204,12 +207,14 @@ def _partition_by_bucket(p: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("image_size", "config", "capacity",
-                                   "use_depth16", "padded_capacity"))
+                                   "use_depth16", "padded_capacity",
+                                   "emit_tails"))
 def map_to_tiles(points: jax.Array, depth: jax.Array,
                  image_size: Tuple[int, int], config: RasterConfig,
                  capacity: Optional[int] = None,
                  use_depth16: bool = False,
-                 padded_capacity: Optional[int] = None) -> TileMapping:
+                 padded_capacity: Optional[int] = None,
+                 emit_tails: Optional[Tuple[int, ...]] = None) -> TileMapping:
   """Map gaussians to tiles, depth-sorted front-to-back within each tile
   (reference mapper/tile_mapper.py:202-223).
 
@@ -223,6 +228,8 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       heuristic (default_capacity)
     use_depth16: quantize depth to 16 bits and sort a single packed u32
       key (the reference's halved-sort-cost mode, tile_mapper.py:47-64)
+    emit_tails: static per-round emission tail sizes (probe_emit_tails);
+      None -> conservative defaults (~6.75 candidates/gaussian)
   """
   n = points.shape[0]
   if depth.ndim == 2:
@@ -255,7 +262,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       points_s, image_size, tile_size, config.alpha_threshold,
       config.max_tile_span)
   p_s = (span_s[:, 0] * span_s[:, 1]).astype(jnp.int32)
-  counts_budgeted = jnp.minimum(p_s, _emittable_budget(n))
+  counts_budgeted = jnp.minimum(p_s, _emittable_budget(n, emit_tails))
   cropped = jnp.any(counts_budgeted < p_s) | span_clipped
 
   # ---- emit the candidate stream (static size; sentinels for invalid) ----
@@ -300,7 +307,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   accepted_s = jnp.zeros((n,), jnp.int32)
   j_edges = (0,) + _BUDGETS
   for r in range(_N_ROUNDS):
-    tail = _tail_size(n, r)
+    tail = _tail_size(n, r, emit_tails)
     if tail == 0 or j_edges[r] >= j_edges[r + 1]:
       continue
     keys, pv, acc = emit(n - tail, j_edges[r], j_edges[r + 1])
@@ -399,11 +406,42 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       point_offsets=point_offsets)
 
 
-def _emittable_budget(n: int) -> jnp.ndarray:
+def _emittable_budget(n: int, emit_tails=None) -> jnp.ndarray:
   """Static per-sorted-position candidate budget: position q gets budget
   _BUDGETS[r] for the largest round r whose static tail covers q."""
   q = jnp.arange(n, dtype=jnp.int32)
   budget = jnp.full((n,), _BUDGETS[0], jnp.int32)
   for r in range(1, _N_ROUNDS):
-    budget = jnp.where(q >= n - _tail_size(n, r), _BUDGETS[r], budget)
+    budget = jnp.where(q >= n - _tail_size(n, r, emit_tails),
+                       _BUDGETS[r], budget)
   return budget
+
+
+def probe_emit_tails(points: jax.Array, image_size: Tuple[int, int],
+                     config: RasterConfig, margin: float = 1.5,
+                     quantum: int = 1024) -> Tuple[int, ...]:
+  """Measure snug per-round emission tail sizes from one projected frame.
+
+  The default tails emit ~6.75 candidates/gaussian to statically cover
+  unknown footprint distributions; real scenes are much tighter. Probing
+  once (like the documented `capacity` resize flow) and passing the
+  result as map_to_tiles(emit_tails=...) cuts the candidate stream —
+  and with it the mapper's sort and emission cost — roughly in half.
+  Tails carry a safety margin and are rounded up so small footprint
+  drift between frames recompiles rarely; growth beyond a tail sets the
+  mapping's overflow flag (footprint crop) as usual.
+  """
+  n = points.shape[0]
+  _, span, _, _, _ = _footprint(points, image_size, config.tile_size,
+                                config.alpha_threshold,
+                                config.max_tile_span)
+  p = np.asarray((span[:, 0] * span[:, 1]).astype(jnp.int32))
+  tails = [n]
+  for r in range(1, _N_ROUNDS):
+    need = int((p > _BUDGETS[r - 1]).sum())
+    snug = min(n, int(round_up(int(math.ceil(need * margin)) + 1, quantum)))
+    # emission rounds are cumulative: a position in round r's tail must
+    # also be in every earlier round's tail or its low-j candidates would
+    # silently never be emitted
+    tails.append(min(snug, tails[-1]))
+  return tuple(tails)

@@ -155,3 +155,39 @@ def test_mapper_big_gaussian_cropped_flag():
 def test_pad_to_tile():
   assert pad_to_tile((100, 33), 16) == (112, 48)
   assert pad_to_tile((128, 64), 16) == (128, 64)
+
+
+def test_mapper_snug_emit_tails_match_oracle():
+  """probe_emit_tails + emit_tails must reproduce the default mapping
+  exactly (same bins) while emitting a smaller candidate stream."""
+  from taichi_gaussian_rasterizer_tpu.ops.mapper import probe_emit_tails
+
+  image_size = (160, 96)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth = make_scene(5, 120, image_size)
+
+  tails = probe_emit_tails(points, image_size, config, quantum=8)
+  assert tails[0] == 120 and all(
+      tails[r] <= tails[r - 1] for r in range(1, len(tails)))
+
+  m_def = map_to_tiles(points, depth, image_size, config)
+  m_snug = map_to_tiles(points, depth, image_size, config,
+                        emit_tails=tails)
+  assert not bool(m_snug.overflow)
+  assert int(m_def.total_overlaps) == int(m_snug.total_overlaps)
+  np.testing.assert_array_equal(np.asarray(m_def.tile_ranges),
+                                np.asarray(m_snug.tile_ranges))
+  np.testing.assert_array_equal(np.asarray(m_def.overlap_to_point),
+                                np.asarray(m_snug.overlap_to_point))
+
+
+def test_mapper_emit_tails_crop_flags_overflow():
+  """Footprints beyond a too-small tail must set the overflow flag (crop
+  is reported, never silent)."""
+  image_size = (160, 96)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth = make_scene(6, 120, image_size)
+  # starve every round past the first: only budget-2 candidates emitted
+  mapping = map_to_tiles(points, depth, image_size, config,
+                         emit_tails=(120, 0, 0, 0, 0))
+  assert bool(mapping.overflow)

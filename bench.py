@@ -46,18 +46,14 @@ def bench_scene(n, image_size, config, iters=20):
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
                            capacity=6 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
-  padded = int(probe_map.total_padded)
   capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
-  padded_capacity = int((int(padded * 1.1) + 1023) // 1024 * 1024)
-  print(f"n={n}: overlaps={total} padded={padded} -> capacity={capacity} "
-        f"padded_capacity={padded_capacity} emit_tails={emit_tails}",
-        file=sys.stderr)
+  print(f"n={n}: overlaps={total} -> capacity={capacity} "
+        f"emit_tails={emit_tails}", file=sys.stderr)
 
   @jax.jit
   def train_frame(gaussians, g_image):
     def loss(g):
       r = render_gaussians(g, camera, config, capacity=capacity,
-                           padded_capacity=padded_capacity,
                            emit_tails=emit_tails)
       return jnp.vdot(r.image, g_image)
 

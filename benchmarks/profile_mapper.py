@@ -114,32 +114,17 @@ def main():
   print(f"4 searchsorted ranges: {ms:.1f} ms")
 
   chunk = config.points_per_chunk
-  k_pad = int(M.round_up(3 * n, chunk) + tw * th * chunk)
+  k_cap = int(M.round_up(3 * n, chunk))
 
-  def stage5(st, sp, starts, ends):
-    # mirrors mapper.py's padded-layout build (step functions + gather)
-    counts = ends - starts
-    padded = M.cdiv(counts, chunk) * chunk
-    pstarts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    clipped = jnp.minimum(pstarts, k_pad)
+  def stage5(sp):
+    # mirrors mapper.py's overlap-list truncation (no relayout since r2)
+    if sp.shape[0] >= k_cap:
+      return sp[:k_cap]
+    return jnp.concatenate([sp, jnp.full((k_cap - sp.shape[0],), n,
+                                         jnp.int32)])
 
-    def step_fn(values):
-      buf = jnp.zeros((k_pad,), jnp.int32).at[clipped].max(values,
-                                                           mode="drop")
-      return jax.lax.cummax(buf)
-
-    pstart_of = step_fn(clipped)
-    sstart_of = step_fn(starts)
-    send_of = step_fn(ends)
-    slot = jnp.arange(k_pad, dtype=jnp.int32)
-    src = sstart_of + (slot - pstart_of)
-    live = src < send_of
-    pos_ext = jnp.concatenate([sp, jnp.asarray([n], jnp.int32)])
-    src = jnp.where(live, src, sp.shape[0])
-    return pos_ext[src]
-
-  otp, ms = timeit(jax.jit(stage5), st, sp, starts, ends)
-  print(f"5 relayout gather (k_pad={k_pad / 1e6:.2f}M): {ms:.1f} ms")
+  otp, ms = timeit(jax.jit(stage5), sp)
+  print(f"5 truncate to capacity (k_cap={k_cap / 1e6:.2f}M): {ms:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -137,7 +137,6 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      use_ndc_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
-                     padded_capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:183-231)."""
   ndc_depths = lib.ndc_depth(
@@ -153,7 +152,6 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
   mapping = map_to_tiles(gaussians2d, ndc_depths[:, 0],
                          camera_params.image_size, config,
                          capacity=capacity, use_depth16=use_depth16,
-                         padded_capacity=padded_capacity,
                          emit_tails=emit_tails)
 
   raster = rasterize_with_tiles(
@@ -201,7 +199,6 @@ def render_gaussians(gaussians: Gaussians3D,
                      render_median_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
-                     padded_capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:134-170).
 
@@ -226,7 +223,7 @@ def render_gaussians(gaussians: Gaussians3D,
       render_depth=render_depth, use_depth16=use_depth16,
       render_median_depth=render_median_depth,
       heuristic_sink=heuristic_sink, capacity=capacity,
-      padded_capacity=padded_capacity, emit_tails=emit_tails)
+      emit_tails=emit_tails)
 
 
 def render_with_heuristics(loss_fn, gaussians: Gaussians3D,

@@ -24,13 +24,15 @@ tiny scatters) and avoids what is slow (large scatters, narrow gathers):
   `jax.lax.sort`: lexicographic (tile, depth) 32-bit keys, or a single
   packed u32 key in depth16 mode (tile_mapper.py:52-64).
 * Ranges via vectorized `searchsorted` on the sorted tile ids.
-* The chunk-aligned padded bin layout (each tile's bin starts on a
-  `points_per_chunk` boundary; gaps hold sentinel entries) is built with
-  a *gather*: per-slot tile ids come from a T-sized indicator scatter +
-  cumsum, never a K-sized scatter.
-* The mapping also carries a point-major permutation of the overlap list
-  plus per-point segment offsets — the gradient reduction in the raster
-  backward uses these for a sorted prefix-sum reduction instead of a
+* The overlap list **is** the sorted candidate stream: tile bins abut
+  with no padding or relayout (the round-1 chunk-padded layout cost a
+  K-sized ~9 ns/row gather to build). The raster kernels read
+  chunk-aligned supersets of each bin and mask the boundary lanes;
+  boundary output chunks are combined read-modify-write across the
+  sequential grid.
+* The mapping also carries per-point segment offsets — the gradient
+  reduction in the raster backward sorts per-slot values by point index
+  and takes prefix-sum differences at these offsets instead of a
   (TPU-hostile) scatter-add segment_sum.
 """
 
@@ -97,33 +99,27 @@ def default_capacity(n: int, image_size: Tuple[int, int],
 class TileMapping:
   """Result of map_to_tiles.
 
-  The overlap list layout is 'chunk-aligned padded': each tile's bin
-  occupies [tile_ranges[t,0], tile_ranges[t,1]) with its start aligned to
-  `points_per_chunk`; slots outside every bin hold `point_sentinel`
-  (== N), indexing a zero-alpha padding row that the raster kernels treat
-  as an exact no-op.
+  The overlap list is the depth-sorted candidate stream truncated to the
+  static `capacity` (rounded up to a chunk): tile bins abut contiguously
+  (tile_ranges[t+1, 0] == tile_ranges[t, 1]); real overlaps occupy
+  [0, total_overlaps) and every later slot holds `point_sentinel` (== N),
+  which indexes a zero-alpha padding row the raster kernels treat as an
+  exact no-op.
 
-  point_offsets / reduce_width support the gradient reduction
-  (raster/function.py reduce_slots_by_point): sorting slots by
-  overlap_to_point groups them by original point index, with point i's
-  group at [point_offsets[i], point_offsets[i+1]) and sentinel slots at
-  the end; only the first `reduce_width` sorted slots can hold real
-  overlaps (overflow is flagged otherwise), so the reduction truncates
-  there.
+  point_offsets supports the gradient reduction (raster/function.py
+  reduce_slots_by_point): sorting slots by overlap_to_point groups them
+  by original point index, with point i's group at
+  [point_offsets[i], point_offsets[i+1]) and sentinel slots at the end.
   """
-  overlap_to_point: jax.Array  # (K_pad,) int32, point index or N (sentinel)
+  overlap_to_point: jax.Array  # (K_cap,) int32, point index or N (sentinel)
   tile_ranges: jax.Array       # (TH*TW, 2) int32 [start, end) per tile
   tile_shape: Tuple[int, int]  # (TH, TW) -- static
   total_overlaps: jax.Array    # () int32 number of real (point, tile) pairs
-  total_padded: jax.Array      # () int32 chunk-padded overlap list length
-                               # (probe for a snug `padded_capacity`)
   overflow: jax.Array          # () bool: capacity exceeded / footprint
                                # cropped -- results valid but incomplete
   point_sentinel: int          # == N (static)
-  reduce_width: int            # static bound on real overlaps (reduction
-                               # truncation width)
   point_offsets: jax.Array     # (N+1,) int32 segment starts in point-
-                               # sorted slot order, clamped to reduce_width
+                               # sorted slot order, clamped to K_cap
 
   @property
   def tile_ranges_2d(self) -> jax.Array:
@@ -134,8 +130,8 @@ class TileMapping:
 jax.tree_util.register_dataclass(
     TileMapping,
     data_fields=["overlap_to_point", "tile_ranges", "total_overlaps",
-                 "total_padded", "overflow", "point_offsets"],
-    meta_fields=["tile_shape", "point_sentinel", "reduce_width"])
+                 "overflow", "point_offsets"],
+    meta_fields=["tile_shape", "point_sentinel"])
 
 
 def _footprint(points: jax.Array, image_size, tile_size: int,
@@ -207,13 +203,11 @@ def _partition_by_bucket(p: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("image_size", "config", "capacity",
-                                   "use_depth16", "padded_capacity",
-                                   "emit_tails"))
+                                   "use_depth16", "emit_tails"))
 def map_to_tiles(points: jax.Array, depth: jax.Array,
                  image_size: Tuple[int, int], config: RasterConfig,
                  capacity: Optional[int] = None,
                  use_depth16: bool = False,
-                 padded_capacity: Optional[int] = None,
                  emit_tails: Optional[Tuple[int, ...]] = None) -> TileMapping:
   """Map gaussians to tiles, depth-sorted front-to-back within each tile
   (reference mapper/tile_mapper.py:202-223).
@@ -224,8 +218,9 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       depth16 mode additionally assumes depth in [0, 1]
     image_size: (width, height) -- static
     config: RasterConfig -- static
-    capacity: static bound on the number of *binned* overlaps; None ->
-      heuristic (default_capacity)
+    capacity: static bound on the number of binned overlaps (rounded up
+      to a chunk); None -> heuristic (default_capacity). Probe
+      `total_overlaps` once and re-jit with a snug capacity.
     use_depth16: quantize depth to 16 bits and sort a single packed u32
       key (the reference's halved-sort-cost mode, tile_mapper.py:47-64)
     emit_tails: static per-round emission tail sizes (probe_emit_tails);
@@ -315,6 +310,15 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     pv_parts.append(pv)
     accepted_s = accepted_s.at[n - tail:].add(acc)
 
+  if not pv_parts:
+    # n == 0 (or zero emission tails): empty candidate stream
+    pv_parts = [jnp.zeros((0,), jnp.int32)]
+    if use_depth16:
+      key_parts = [(jnp.zeros((0,), jnp.uint32),)]
+    else:
+      key_parts = [(jnp.zeros((0,), jnp.int32),
+                    jnp.zeros((0,), points.dtype))]
+
   cand_pos = jnp.concatenate(pv_parts)       # original point index or n
   if use_depth16:
     packed = jnp.concatenate([k[0] for k in key_parts])
@@ -337,54 +341,30 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   tile_counts = ends - starts
   total = jnp.sum(tile_counts)
 
-  # ---- chunk-aligned padded layout via gather ----
-  padded_counts = cdiv(tile_counts, chunk) * chunk
-  padded_starts = (jnp.cumsum(padded_counts) - padded_counts).astype(jnp.int32)
-  total_padded = jnp.sum(padded_counts)
-  if padded_capacity is not None:
-    # caller-probed snug bound on the padded list (see total_padded)
-    k_pad = int(round_up(padded_capacity, chunk))
+  # ---- static-capacity overlap list: the sorted stream itself ----
+  # Bins abut with no padding; real overlaps fill [0, total) and
+  # rejected/out-of-span candidates (sentinels) sorted past them. The
+  # raster kernels handle unaligned bin boundaries with lane masks and
+  # read-modify-write boundary chunks.
+  k_cap = int(round_up(capacity, chunk))
+  # real overlaps beyond k_cap are cropped away -- results valid but
+  # incomplete (the documented resize-and-recompile flow)
+  overflow = cropped | (total > k_cap)
+
+  c_len = cand_pos.shape[0]
+  if c_len >= k_cap:
+    overlap_to_point = cand_pos[:k_cap]
   else:
-    k_pad = int(round_up(capacity, chunk) + n_tiles * chunk)
-  overflow = cropped | (total_padded > k_pad)
-
-  # Per-slot bin metadata. pstart_of[s] / sstart_of[s] / send_of[s] are
-  # step functions of the slot index (constant within a bin, ascending
-  # across bins), so each is a T-sized scatter-max + a cummax — never a
-  # K-sized gather.
-  clipped_pstarts = jnp.minimum(padded_starts, k_pad)
-
-  def step_fn(values):
-    buf = jnp.zeros((k_pad,), jnp.int32).at[clipped_pstarts].max(
-        values, mode="drop")
-    return jax.lax.cummax(buf)
-
-  pstart_of = step_fn(clipped_pstarts)
-  sstart_of = step_fn(starts)
-  send_of = step_fn(ends)
-
-  slot = jnp.arange(k_pad, dtype=jnp.int32)
-  src = sstart_of + (slot - pstart_of)
-  live = src < send_of
-
-  pos_ext = jnp.concatenate([cand_pos, jnp.asarray([n], jnp.int32)])
-  src = jnp.where(live, src, cand_pos.shape[0])
-  overlap_to_point = pos_ext[src]            # original point indices
+    overlap_to_point = jnp.concatenate(
+        [cand_pos, jnp.full((k_cap - c_len,), n, jnp.int32)])
 
   tile_ranges = jnp.stack(
-      [jnp.minimum(padded_starts, k_pad),
-       jnp.minimum(padded_starts + tile_counts, k_pad)], axis=1)
+      [jnp.minimum(starts, k_cap), jnp.minimum(ends, k_cap)], axis=1)
 
   # ---- segment offsets for the sort-based gradient reduction ----
-  # (the reduction itself sorts slot VALUES by overlap_to_point in
+  # (the reduction sorts slot VALUES by overlap_to_point in
   # raster/function.py — on TPU, carrying values through lax.sort is
   # ~3x cheaper than a point-permutation gather afterwards)
-  # only the first `capacity` sorted entries can hold real overlaps
-  # (overflow is flagged otherwise), so the reduction truncates there
-  reduce_width = int(round_up(min(capacity, k_pad), chunk))
-  # the truncated reduction can only cover `reduce_width` real overlaps;
-  # beyond that, gradients/visibility would be silently dropped — flag it
-  overflow = overflow | (total > reduce_width)
   # accepted counts per original point: invert the bucket permutation
   counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(accepted_s)
   point_offsets = jnp.concatenate(
@@ -392,17 +372,15 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
        jnp.cumsum(counts_orig).astype(jnp.int32)])
   # clamp so the reduction's boundary gather stays in bounds when
   # truncating (degrades to dropped tail gradients, never NaN)
-  point_offsets = jnp.minimum(point_offsets, reduce_width)
+  point_offsets = jnp.minimum(point_offsets, k_cap)
 
   return TileMapping(
       overlap_to_point=overlap_to_point,
       tile_ranges=tile_ranges,
       tile_shape=(th, tw),
       total_overlaps=total,
-      total_padded=total_padded,
       overflow=overflow,
       point_sentinel=n,
-      reduce_width=reduce_width,
       point_offsets=point_offsets)
 
 

@@ -67,9 +67,12 @@ class CameraParams:
   @property
   def camera_position(self):
     """Camera origin in world coordinates (params.py:75-78), computed from
-    the rigid inverse rather than a general 4x4 inversion."""
+    the rigid inverse rather than a general 4x4 inversion. R^T t is
+    unrolled elementwise: a 3x3 `@` runs at bf16 on the TPU MXU, which
+    would make the camera position backend-dependent."""
     R, t = lib.split_rt(self.T_camera_world)
-    return -(R.T @ t)
+    return -jnp.stack(
+        [R[0, i] * t[0] + R[1, i] * t[1] + R[2, i] * t[2] for i in range(3)])
 
   def transformed(self, t: jax.Array) -> "CameraParams":
     return replace(self, T_camera_world=t @ self.T_camera_world)

@@ -14,9 +14,11 @@ in the reference's profile). Differences by design:
 * No atomics anywhere (reference: warp shuffle -> shared-memory atomic ->
   global atomic, backward.py:204-228): each tile DMAs one combined
   gradient block per chunk — point-parameter rows, optional heuristic
-  rows, then feature rows — to a private range of a (rows, K_pad)
-  buffer; a point-sorted prefix reduction (function.py) turns the
-  per-slot gradients into per-point gradients.
+  rows, then feature rows — to its range of a (rows, K_cap) buffer; a
+  point-sorted prefix reduction (function.py) turns the per-slot
+  gradients into per-point gradients. Bins are unpadded: boundary lanes
+  are masked to zero and the chunk shared with the previous tile is
+  combined read-modify-write (the grid is sequential).
 * Gradients flow to the alpha/weight image as well (the reference marks
   image_alpha non-differentiable, function.py:72): the gathered feature
   rows carry a virtual all-ones channel at row F, so the alpha image is
@@ -24,9 +26,10 @@ in the reference's profile). Differences by design:
 * The per-point heuristics (prune cost = sum of squared alpha-gradients,
   split score = l1 norm of the position gradient; backward.py:194-198)
   are emitted as two extra gradient rows when enabled.
-* No saturation early-exit: every chunk's gradient slots must be written
-  (the slot buffer has no other initialization), and saturation gates
-  make post-saturation gradients exactly zero.
+* Saturation chunk skipping: the forward tracks the first chunk at which
+  every pixel saturates (satchunks); later chunks have exactly-zero
+  gradients by the blend gates, so the backward zero-fills their slots
+  instead of replaying them (the reference's warp-vote early exit).
 
 Per-slot gradient row layout (R = pt_rows + F_pad):
   rows [0..6]  packed point-parameter gradients
@@ -62,47 +65,82 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
   th, tw = tile_shape
   pt_rows = 16 if compute_point_heuristic else 8
 
-  def kernel(starts_ref, nchunks_ref, nbwd_ref,     # scalar prefetch
+  def kernel(starts_ref, ends_ref, nbwd_ref,        # scalar prefetch
              comb_hbm, grad_ref, e_ref,             # inputs
              gout_hbm,                              # output
-             comb_vmem, gout_vmem, zero_vmem,       # scratch
-             sem_c, sem_g, sem_z):
+             comb_vmem, gout_vmem, zero_vmem, rmw_vmem,  # scratch
+             sem_c, sem_g, sem_z, sem_r):
     t = pl.program_id(0)
     dtype = grad_ref.dtype
     start = starts_ref[t]
-    nch = nchunks_ref[t]
+    end = ends_ref[t]
+    # bins are unpadded: process the chunk-aligned superset of [start,
+    # end), masking boundary lanes; the shared first chunk is combined
+    # read-modify-write with the previous tile's output
+    fstart = (start // g) * g
+    nch = jnp.where(end > start, cdiv_i32(end - fstart, g), 0)
+    unaligned = start != fstart
     # chunks >= nbwd have fully saturated pixels: their gated weights and
     # gradients are exactly zero (blend.chunk_weights), so skip the
     # compute + input DMA and zero-fill their gradient slots instead
     # (the reference's warp-vote skip, reference backward.py:121-148)
     nbwd = jnp.minimum(nch, nbwd_ref[t])
 
+    # tile-local pixel coordinates (see forward.py): identical math,
+    # better f32 conditioning, and they make the pixel-moment matrix
+    # tile-independent and well-scaled (px^2 <= tile_size^2)
     lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = ((t % tw) * ts + lin % ts).astype(dtype) + 0.5
-    py = ((t // tw) * ts + lin // ts).astype(dtype) + 0.5
+    px = (lin % ts).astype(dtype) + 0.5
+    py = (lin // ts).astype(dtype) + 0.5
+    origin = (((t % tw) * ts).astype(dtype), ((t // tw) * ts).astype(dtype))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+
+    if not config.antialias:
+      # pixel-moment matrix for the moment-based gradient reduction: all
+      # six pdf-parameter gradient rows are per-point linear combinations
+      # of the moments col(B * m), m in {1, px, py, px^2, px*py, py^2}
+      # (B = dL/da_raw * alpha * pdf), so one (6, P) x (P, G) MXU matmul
+      # replaces six full (P, G) gradient fields + reductions
+      lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+      px_r = (lin_r % ts).astype(dtype) + 0.5
+      py_r = (lin_r // ts).astype(dtype) + 0.5
+      mmat = jnp.concatenate(
+          [jnp.ones((1, p), dtype), px_r, py_r,
+           px_r * px_r, px_r * py_r, py_r * py_r], axis=0)   # (6, P)
 
     grad = grad_ref[0]        # (F_pad, P): F features, alpha row, zeros
     e_col = e_ref[0]          # (P, 1)
 
-    k_pad_total = comb_hbm.shape[1]
+    k_cap_total = comb_hbm.shape[1]
     two = jnp.asarray(2, jnp.int32)
 
     def chunk_in(c, slot):
       # prefetch may run one chunk past this bin (contiguous bins; clamped
       # at the buffer end) — its data is never used
       off = pl.multiple_of(
-          jnp.minimum(start + c * g, k_pad_total - g), g)
+          jnp.minimum(fstart + c * g, k_cap_total - g), g)
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
     def chunk_out(c, slot):
-      off = pl.multiple_of(start + c * g, g)
+      off = pl.multiple_of(fstart + c * g, g)
       return pltpu.make_async_copy(
           gout_vmem.at[slot], gout_hbm.at[:, pl.ds(off, g)], sem_g.at[slot])
+
+    def rmw_in():
+      off = pl.multiple_of(fstart, g)
+      return pltpu.make_async_copy(
+          gout_hbm.at[:, pl.ds(off, g)], rmw_vmem, sem_r)
 
     @pl.when(nbwd > 0)
     def _():
       chunk_in(0, 0).start()
+
+    # the previous tile's last output chunk overlaps our first: fetch it
+    # early (its write landed before the previous grid step finished)
+    @pl.when((nbwd > 0) & unaligned)
+    def _():
+      rmw_in().start()
 
     def body(c, carry):
       t_carry, c_carry = carry
@@ -120,39 +158,102 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
 
       pts = comb_vmem[slot, 0:8, :]                   # (8, G)
       feats = comb_vmem[slot, 8:, :]                  # (F_pad, G)
-      pa = blend.point_row(pts, blend.ALPHA)          # (1, G)
+      # zero-alpha the lanes outside [start, end): foreign boundary slots
+      # produce exactly-zero gradients in every output row
+      s_idx = fstart + c * g + lane
+      mask = ((s_idx >= start) & (s_idx < end)).astype(dtype)
+      pa = blend.point_row(pts, blend.ALPHA) * mask   # (1, G)
 
-      (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
-          blend.chunk_pdf_with_grads(pts, px, py, config.antialias))
+      if config.antialias:
+        (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
+            blend.chunk_pdf_with_grads(pts, px, py, True, origin=origin))
+      else:
+        pdf, tu, tv = blend.chunk_pdf_parts(pts, px, py, origin=origin)
       w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
 
       # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
       # via the ones row at F; padding rows are zero on both sides)
       D = jax.lax.dot_general(
           grad, feats, (((0,), (0,)), ((), ())),
-          preferred_element_type=dtype)               # (P, G)
+          preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)               # (P, G)
 
       ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
-      d_pdf = ag.dL_da_raw * pa                       # (P, G)
-      d_pa = ag.dL_da_raw * pdf
 
       def col(x):  # reduce over pixels (sublanes) -> (1, G)
         return jnp.sum(x, axis=0, keepdims=True)
 
-      gout_vmem[slot, 0:1, :] = col(d_pdf * d_mx)
-      gout_vmem[slot, 1:2, :] = col(d_pdf * d_my)
-      gout_vmem[slot, 2:3, :] = col(d_pdf * d_ax)
-      gout_vmem[slot, 3:4, :] = col(d_pdf * d_ay)
-      gout_vmem[slot, 4:5, :] = col(d_pdf * d_sx)
-      gout_vmem[slot, 5:6, :] = col(d_pdf * d_sy)
-      gout_vmem[slot, 6:7, :] = col(d_pa)
+      if config.antialias:
+        # full per-(pixel, point) gradient fields (the antialiased pdf's
+        # partials are not pixel-polynomial, so no moment shortcut)
+        d_pdf = ag.dL_da_raw * pa                     # (P, G)
+        gout_vmem[slot, 0:1, :] = col(d_pdf * d_mx)
+        gout_vmem[slot, 1:2, :] = col(d_pdf * d_my)
+        gout_vmem[slot, 2:3, :] = col(d_pdf * d_ax)
+        gout_vmem[slot, 3:4, :] = col(d_pdf * d_ay)
+        gout_vmem[slot, 4:5, :] = col(d_pdf * d_sx)
+        gout_vmem[slot, 5:6, :] = col(d_pdf * d_sy)
+        gout_vmem[slot, 6:7, :] = col(ag.dL_da_raw * pdf)
+      else:
+        # moment-based reduction: the six pdf-parameter rows are exact
+        # per-point linear combinations of six pixel moments of
+        # B = dL/da_raw * alpha * pdf (verified against the full-field
+        # formulation; u = tu/sx, v = tv/sy, d = pixel - mean):
+        #   col(B*dx) etc. expand via dx = px - mean_x into the moments.
+        B0 = ag.dL_da_raw * pdf                       # (P, G)
+        B = B0 * pa
+        mom = jax.lax.dot_general(
+            mmat, B, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)             # (6, G)
+        m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
+        mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+
+        mxl = blend.point_row(pts, blend.MEAN_X) - origin[0]
+        myl = blend.point_row(pts, blend.MEAN_Y) - origin[1]
+        axr = blend.point_row(pts, blend.AXIS_X)
+        ayr = blend.point_row(pts, blend.AXIS_Y)
+        sxr = blend.point_row(pts, blend.SIGMA_X)
+        syr = blend.point_row(pts, blend.SIGMA_Y)
+
+        bdx = mx1 - mxl * m0                          # col(B * dx)
+        bdy = my1 - myl * m0
+        bdxx = mxx - 2 * mxl * mx1 + mxl * mxl * m0   # col(B * dx * dx)
+        bdyy = myy - 2 * myl * my1 + myl * myl * m0
+        bdxy = mxy - mxl * my1 - myl * mx1 + mxl * myl * m0
+
+        isx2 = 1.0 / (sxr * sxr)
+        isy2 = 1.0 / (syr * syr)
+        bus = (axr * bdx + ayr * bdy) * isx2          # col(B * u / sx)
+        bvs = (axr * bdy - ayr * bdx) * isy2          # col(B * v / sy)
+        btutu = (axr * axr * bdxx + 2 * axr * ayr * bdxy
+                 + ayr * ayr * bdyy)                  # col(B * tu^2)
+        btvtv = (axr * axr * bdyy - 2 * axr * ayr * bdxy
+                 + ayr * ayr * bdxx)
+        btudx = axr * bdxx + ayr * bdxy               # col(B * tu * dx)
+        btudy = axr * bdxy + ayr * bdyy
+        btvdx = axr * bdxy - ayr * bdxx
+        btvdy = axr * bdyy - ayr * bdxy
+
+        gout_vmem[slot, 0:1, :] = axr * bus - ayr * bvs
+        gout_vmem[slot, 1:2, :] = ayr * bus + axr * bvs
+        gout_vmem[slot, 2:3, :] = -(btudx * isx2 + btvdy * isy2)
+        gout_vmem[slot, 3:4, :] = -(btudy * isx2 - btvdx * isy2)
+        gout_vmem[slot, 4:5, :] = btutu * isx2 / sxr
+        gout_vmem[slot, 5:6, :] = btvtv * isy2 / syr
+        gout_vmem[slot, 6:7, :] = col(B0)
       gout_vmem[slot, 7:8, :] = jnp.zeros((1, g), dtype)
 
       if compute_point_heuristic:
         # reference backward.py:194-198: per pixel aag = point_alpha *
-        # dL/da_raw (== d_pdf); prune cost = sum_p aag^2, split score =
-        # sum_p |aag * dp_dmean|_1
-        aag = d_pdf
+        # dL/da_raw; prune cost = sum_p aag^2, split score =
+        # sum_p |aag * dp_dmean|_1 (absolute values - no moment shortcut)
+        aag = ag.dL_da_raw * pa
+        if not config.antialias:
+          isx2 = 1.0 / (sxr * sxr)
+          isy2 = 1.0 / (syr * syr)
+          d_mx = pdf * (tu * isx2 * axr - tv * isy2 * ayr)
+          d_my = pdf * (tu * isx2 * ayr + tv * isy2 * axr)
         gout_vmem[slot, 8:9, :] = col(aag * aag)
         gout_vmem[slot, 9:10, :] = col(
             jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
@@ -161,7 +262,15 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
       gout_vmem[slot, pt_rows:, :] = jax.lax.dot_general(
           grad, w.weight, (((1,), (0,)), ((), ())),
-          preferred_element_type=dtype)               # (F_pad, G)
+          preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)               # (F_pad, G)
+
+      # combine the shared boundary chunk with the previous tile's output
+      # (our masked lanes are zero; its lanes carry the real values)
+      @pl.when((c == 0) & unaligned)
+      def _():
+        rmw_in().wait()
+        gout_vmem[slot] = gout_vmem[slot] + rmw_vmem[:, :]
 
       chunk_out(c, slot).start()
       return w.t_carry, ag.c_carry
@@ -181,31 +290,34 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       chunk_out(nbwd - 1, jax.lax.rem(nbwd - 1, two)).wait()
 
     # zero-fill the skipped chunks' gradient slots (the reduction reads
-    # every slot; the HBM buffer is otherwise uninitialized there)
+    # every slot in [0, total); the HBM buffer is otherwise uninitialized
+    # there). A skipped *shared* first chunk is left untouched: the
+    # previous tile already wrote zeros in our lanes.
     zero_vmem[...] = jnp.zeros_like(zero_vmem)
+    zstart = jnp.where((nbwd == 0) & unaligned, 1, nbwd)
 
     def zfill(c, slot):
-      off = pl.multiple_of(start + c * g, g)
+      off = pl.multiple_of(fstart + c * g, g)
       return pltpu.make_async_copy(
           zero_vmem, gout_hbm.at[:, pl.ds(off, g)], sem_z.at[slot])
 
     def zbody(c, _):
       slot = jax.lax.rem(c, two)
 
-      @pl.when(c - 2 >= nbwd)
+      @pl.when(c - 2 >= zstart)
       def _():
         zfill(c - 2, slot).wait()
 
       zfill(c, slot).start()
       return 0
 
-    jax.lax.fori_loop(nbwd, nch, zbody, 0)
+    jax.lax.fori_loop(zstart, nch, zbody, 0)
 
-    @pl.when(nch - 2 >= nbwd)
+    @pl.when(nch - 2 >= zstart)
     def _():
       zfill(nch - 2, jax.lax.rem(nch - 2, two)).wait()
 
-    @pl.when(nch - 1 >= nbwd)
+    @pl.when(nch - 1 >= zstart)
     def _():
       zfill(nch - 1, jax.lax.rem(nch - 1, two)).wait()
 
@@ -214,14 +326,14 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
 
 @functools.partial(
     jax.jit, static_argnames=("config", "compute_point_heuristic"))
-def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
+def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
                            grad_padded: jax.Array,       # (T, F_pad, P)
                            e_tiles: jax.Array,           # (T, P, 1)
                            mapping: TileMapping,
                            config: RasterConfig = None,
                            compute_point_heuristic: bool = False,
                            satchunks: jax.Array = None):
-  """Run the backward kernel over padded tile bins.
+  """Run the backward kernel over the mapper's unpadded abutting bins.
 
   grad_padded carries the feature-image cotangent rows, then the
   alpha-image cotangent row at index F, then zeros up to F_pad;
@@ -229,7 +341,7 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
   satchunks (T,) int32 is the forward's per-tile saturation chunk count
   (chunks beyond it are zero-filled, not replayed); None replays all.
 
-  Returns the combined per-slot gradient buffer (R, K_pad) — see the
+  Returns the combined per-slot gradient buffer (R, K_cap) — see the
   module docstring for the row layout; reduce with the mapping's
   point-sorted permutation outside.
   """
@@ -239,14 +351,15 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
   th, tw = mapping.tile_shape
   n_tiles = th * tw
   p = ts * ts
-  k_pad = mapping.overlap_to_point.shape[0]
+  k_cap = mapping.overlap_to_point.shape[0]
   f_pad = gathered.shape[0] - 8
   rows = grad_rows(f_pad, compute_point_heuristic)
 
   starts = mapping.tile_ranges[:, 0]
-  nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
+  ends = mapping.tile_ranges[:, 1]
   if satchunks is None:
-    satchunks = nchunks
+    # replay everything (the kernel clamps to each tile's chunk count)
+    satchunks = jnp.full((n_tiles,), jnp.iinfo(jnp.int32).max, jnp.int32)
 
   kernel = _backward_kernel(config, (th, tw), f_pad, compute_point_heuristic)
 
@@ -265,19 +378,21 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_pad)
           pltpu.VMEM((2, gathered.shape[0], g), dtype),  # double-buffered in
           pltpu.VMEM((2, rows, g), dtype),               # double-buffered out
           pltpu.VMEM((rows, g), dtype),                  # zero-fill block
+          pltpu.VMEM((rows, g), dtype),                  # boundary-chunk RMW
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
+          pltpu.SemaphoreType.DMA,
       ],
   )
 
   gout = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((rows, k_pad), dtype),
+      out_shape=jax.ShapeDtypeStruct((rows, k_cap), dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, nchunks, satchunks, gathered, grad_padded, e_tiles)
+  )(starts, ends, satchunks, gathered, grad_padded, e_tiles)
 
   return gout

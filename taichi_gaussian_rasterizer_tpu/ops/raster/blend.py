@@ -47,14 +47,15 @@ def point_row(pts, row):
   return pts[row:row + 1, :]
 
 
-def chunk_pdf(pts, px, py, antialias: bool):
+def chunk_pdf(pts, px, py, antialias: bool, origin=(0.0, 0.0)):
   """Gaussian pdf of each (pixel, point) pair.
 
-  pts: (8, G) packed point rows; px, py: (P, 1) pixel centers.
-  Returns pdf (P, G).
+  pts: (8, G) packed point rows; px, py: (P, 1) pixel centers. When
+  `origin` is the tile origin, px/py are tile-local (better f32
+  conditioning; dx/dy are unchanged mathematically). Returns pdf (P, G).
   """
-  dx = px - point_row(pts, MEAN_X)              # (P, G)
-  dy = py - point_row(pts, MEAN_Y)
+  dx = px - (point_row(pts, MEAN_X) - origin[0])  # (P, G)
+  dy = py - (point_row(pts, MEAN_Y) - origin[1])
   ax = point_row(pts, AXIS_X)
   ay = point_row(pts, AXIS_Y)
   sx = point_row(pts, SIGMA_X)
@@ -77,15 +78,34 @@ def chunk_pdf(pts, px, py, antialias: bool):
   return 2.0 * jnp.pi * ix * iy
 
 
-def chunk_pdf_with_grads(pts, px, py, antialias: bool):
+def chunk_pdf_parts(pts, px, py, origin=(0.0, 0.0)):
+  """Plain gaussian pdf plus its eigen-basis projections.
+
+  Returns (pdf, tu, tv), each (P, G), with tu = d.axis, tv = d.perp(axis)
+  — the pieces the backward kernel's moment-based gradient reduction
+  needs (see backward.py)."""
+  dx = px - (point_row(pts, MEAN_X) - origin[0])
+  dy = py - (point_row(pts, MEAN_Y) - origin[1])
+  ax = point_row(pts, AXIS_X)
+  ay = point_row(pts, AXIS_Y)
+  sx = point_row(pts, SIGMA_X)
+  sy = point_row(pts, SIGMA_Y)
+  tu = dx * ax + dy * ay
+  tv = dy * ax - dx * ay
+  u = tu / sx
+  v = tv / sy
+  return jnp.exp(-0.5 * (u * u + v * v)), tu, tv
+
+
+def chunk_pdf_with_grads(pts, px, py, antialias: bool, origin=(0.0, 0.0)):
   """pdf plus analytic partials wrt mean, axis, sigma.
 
   Returns (pdf, d_mean_x, d_mean_y, d_axis_x, d_axis_y, d_sigma_x,
   d_sigma_y), each (P, G). Hand-derived (cf. generic.py:320-336 and
   371-404) so the backward kernel avoids jax.grad inside Pallas.
   """
-  dx = px - point_row(pts, MEAN_X)
-  dy = py - point_row(pts, MEAN_Y)
+  dx = px - (point_row(pts, MEAN_X) - origin[0])
+  dy = py - (point_row(pts, MEAN_Y) - origin[1])
   ax = point_row(pts, AXIS_X)
   ay = point_row(pts, AXIS_Y)
   sx = point_row(pts, SIGMA_X)
@@ -145,7 +165,8 @@ def exclusive_cumsum_lanes(x):
   col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
   tri = (row < col).astype(x.dtype)
   return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
-                             preferred_element_type=x.dtype)
+                             preferred_element_type=x.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 class ChunkWeights(NamedTuple):

@@ -20,13 +20,15 @@ TPU-native redesign of the reference forward kernel
 | visibility (forward.py:116-128)          | rows DMA'd out; point-sorted  |
 |                                          | prefix reduction outside      |
 
-The kernel consumes the mapper's chunk-aligned padded bins: every tile
-processes whole chunks of `config.points_per_chunk` points; sentinel
-slots hold a zero-alpha padding point and are exact no-ops, so there is
-no bounds masking anywhere. The per-point HBM buffer is stored
-transposed (rows, K_pad) — point rows 0..7 then feature rows (with an
-all-ones virtual alpha channel at row F) — so one lane-aligned DMA per
-chunk feeds the whole blend.
+The kernel consumes the mapper's unpadded abutting bins: each tile
+reads the chunk-aligned *superset* of its [start, end) range in whole
+chunks of `config.points_per_chunk` and masks boundary lanes to
+zero-alpha (an exact no-op in the blend). Per-slot outputs (visibility)
+in the shared first boundary chunk are combined read-modify-write —
+the grid is sequential, so the previous tile's write has landed. The
+per-point HBM buffer is stored transposed (rows, K_cap) — point rows
+0..7 then feature rows (with an all-ones virtual alpha channel at row
+F) — so one lane-aligned DMA per chunk feeds the whole blend.
 
 Outputs are tile-packed (T, F+1, P) with the last channel row holding
 the accumulated blend weight; tiles.tiles_to_image assembles (H, W, C).
@@ -87,7 +89,7 @@ def feature_rows(features: jax.Array) -> jax.Array:
 
 
 def gather_combined(points, features, mapping):
-  """One bin-ordered combined buffer (8 + F_pad, K_pad): point rows then
+  """One bin-ordered combined buffer (8 + F_pad, K_cap): point rows then
   feature rows — a single gather pass and a single DMA per chunk."""
   combined = jnp.concatenate(
       [pack_point_cols(points), feature_rows(features)], axis=0)
@@ -106,24 +108,33 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
                 else 1 - config.saturate_threshold)
   early_exit = config.saturation_early_exit and not compute_visibility
 
-  def kernel(starts_ref, nchunks_ref,            # scalar prefetch (SMEM)
+  def kernel(starts_ref, ends_ref,               # scalar prefetch (SMEM)
              comb_hbm,                           # input (ANY/HBM)
              img_ref, vis_hbm, satchunk_ref,     # outputs
-             comb_vmem, vis_vmem,                # scratch
-             sem_c, sem_v):
+             comb_vmem, vis_vmem, vis_rmw,       # scratch
+             sem_c, sem_v, sem_vr):
     t = pl.program_id(0)
     dtype = img_ref.dtype
     start = starts_ref[t]
-    nch = nchunks_ref[t]
+    end = ends_ref[t]
+    # bins are unpadded: read the chunk-aligned superset, mask boundaries
+    fstart = (start // g) * g
+    nch = jnp.where(end > start, cdiv_i32(end - fstart, g), 0)
+    unaligned = start != fstart
 
+    # tile-local pixel coordinates + tile origin passed to the pdf: the
+    # math is identical, the f32 conditioning much better (dx is O(tile)
+    # instead of a difference of O(image) values)
     lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = ((t % tw) * ts + lin % ts).astype(dtype) + 0.5
-    py = ((t // tw) * ts + lin // ts).astype(dtype) + 0.5
+    px = (lin % ts).astype(dtype) + 0.5
+    py = (lin // ts).astype(dtype) + 0.5
+    origin = (((t % tw) * ts).astype(dtype), ((t // tw) * ts).astype(dtype))
 
     img_ref[0] = jnp.zeros((feature_size + 1, p), dtype)
     ones_row = jnp.ones((1, g), dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
-    k_pad_total = comb_hbm.shape[1]
+    k_cap_total = comb_hbm.shape[1]
 
     def chunk_dma(c, slot):
       # double-buffered: prefetch chunk c+1 while computing c; the
@@ -131,7 +142,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       # contiguous so it reads the next tile's data (clamped at the
       # buffer end), never out of bounds
       off = pl.multiple_of(
-          jnp.minimum(start + c * g, k_pad_total - g), g)
+          jnp.minimum(fstart + c * g, k_cap_total - g), g)
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
@@ -141,15 +152,23 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       def _():
         chunk_dma(0, 0).start()
 
+    def lane_mask(c, dtype):
+      # zero-alpha the lanes of this chunk outside [start, end): foreign
+      # (adjacent-tile) slots in boundary chunks become exact no-ops
+      s = fstart + c * g + lane
+      return ((s >= start) & (s < end)).astype(dtype)
+
     def compute_chunk(c, t_carry, pts, feats):
 
-      pdf = blend.chunk_pdf(pts, px, py, config.antialias)   # (P, G)
-      w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
-                              t_carry, config, blending=blending)
+      pdf = blend.chunk_pdf(pts, px, py, config.antialias,
+                            origin=origin)                   # (P, G)
+      pa = blend.point_row(pts, blend.ALPHA) * lane_mask(c, dtype)
+      w = blend.chunk_weights(pdf, pa, t_carry, config, blending=blending)
 
       img = jax.lax.dot_general(
           feats, w.weight, (((1,), (1,)), ((), ())),
-          preferred_element_type=dtype)          # (F_pad, P)
+          preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)          # (F_pad, P)
 
       if blending:
         # the ones-channel at row F yields the alpha image for free
@@ -157,13 +176,27 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       else:
         alpha_row = jax.lax.dot_general(
             ones_row, w.a_eff * w.t_excl, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype)        # (1, P)
+            preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)        # (1, P)
         img_ref[0, :feature_size, :] += img[:feature_size, :]
         img_ref[0, feature_size:, :] += alpha_row
 
       if compute_visibility:
-        off = pl.multiple_of(start + c * g, g)
-        vis_vmem[:, :] = jnp.sum(w.weight, axis=0, keepdims=True)
+        off = pl.multiple_of(fstart + c * g, g)
+        vis_row = jnp.sum(w.weight, axis=0, keepdims=True)
+        # the first chunk of an unaligned bin is shared with the previous
+        # tile's last chunk: read-modify-write (sequential grid — the
+        # previous tile's write has landed; masked lanes contribute 0)
+        rmw = (c == 0) & unaligned
+
+        @pl.when(rmw)
+        def _():
+          cp_r = pltpu.make_async_copy(
+              vis_hbm.at[:, pl.ds(off, g)], vis_rmw, sem_vr)
+          cp_r.start()
+          cp_r.wait()
+
+        vis_vmem[:, :] = jnp.where(rmw, vis_rmw[:, :] + vis_row, vis_row)
         cp_v = pltpu.make_async_copy(
             vis_vmem, vis_hbm.at[:, pl.ds(off, g)], sem_v)
         cp_v.start()
@@ -227,10 +260,10 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
                            mapping: TileMapping,
                            config: RasterConfig,
                            compute_visibility: bool = False):
-  """Pallas forward pass over the mapper's padded tile bins.
+  """Pallas forward pass over the mapper's unpadded abutting tile bins.
 
   Returns (tiled image (T, F+1, P) with the blend weight in the last row,
-  visibility-per-overlap-slot (1, K_pad) or None). function.py assembles
+  visibility-per-overlap-slot (1, K_cap) or None). function.py assembles
   the user-facing outputs.
   """
   n, f = features.shape
@@ -240,13 +273,13 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
   th, tw = mapping.tile_shape
   n_tiles = th * tw
   p = ts * ts
-  k_pad = mapping.overlap_to_point.shape[0]
+  k_cap = mapping.overlap_to_point.shape[0]
   f_pad = round_up(f + 1, 8)
 
-  gathered = gather_combined(points, features, mapping)  # (8+F_pad, K_pad)
+  gathered = gather_combined(points, features, mapping)  # (8+F_pad, K_cap)
 
   starts = mapping.tile_ranges[:, 0]
-  nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - starts, g)
+  ends = mapping.tile_ranges[:, 1]
 
   kernel = _forward_kernel(config, (th, tw), f, compute_visibility)
 
@@ -263,7 +296,9 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
       scratch_shapes=[
           pltpu.VMEM((2, 8 + f_pad, g), dtype),   # double-buffered chunks
           pltpu.VMEM((1, g), dtype),
+          pltpu.VMEM((1, g), dtype),              # boundary-chunk RMW
           pltpu.SemaphoreType.DMA((2,)),
+          pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,
       ],
   )
@@ -273,12 +308,12 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
       grid_spec=grid_spec,
       out_shape=(
           jax.ShapeDtypeStruct((n_tiles, f + 1, p), dtype),
-          jax.ShapeDtypeStruct((1, k_pad), dtype),
+          jax.ShapeDtypeStruct((1, k_cap), dtype),
           jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
       ),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, nchunks, gathered)
+  )(starts, ends, gathered)
 
   return tiled, (vis if compute_visibility else None), satchunks

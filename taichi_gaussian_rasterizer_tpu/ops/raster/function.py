@@ -42,20 +42,21 @@ class RasterOut(NamedTuple):
 
 
 def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
-  """(R, K_pad) per-overlap-slot values -> (N, R) per-point sums.
+  """(R, K_cap) per-overlap-slot values -> (N, R) per-point sums.
 
   Segment-sum without scatter-add OR a permutation gather: the slot
   VALUES ride as payloads through one lax.sort keyed on the slot's point
   index (measured on TPU v5e: payload columns cost ~2 ms each at 4M,
   vs ~25 ns/idx for the round-1 point_perm gather — ~3x cheaper), then
   one cumulative sum and a prefix difference at the mapper's per-point
-  segment offsets. Sentinel/overflow slots sort past `reduce_width` and
-  are truncated (their values are exact zeros by kernel construction)."""
+  segment offsets. Sentinel slots (and any uninitialized tail beyond
+  total_overlaps) sort past every real slot, and point_offsets never
+  reach them, so their values are never read."""
   r = slots.shape[0]
   ops = jax.lax.sort(
       (mapping.overlap_to_point,) + tuple(slots[i] for i in range(r)),
       num_keys=1)
-  grouped = jnp.stack(ops[1:], axis=0)[:, :mapping.reduce_width]  # (R, W)
+  grouped = jnp.stack(ops[1:], axis=0)                       # (R, K_cap)
   pref = jnp.cumsum(grouped, axis=1)
   pref = jnp.concatenate(
       [jnp.zeros((r, 1), slots.dtype), pref], axis=1)
@@ -212,13 +213,11 @@ def rasterize(gaussians2d: jax.Array, depth: jax.Array,
               features: jax.Array, image_size: Tuple[int, int],
               config: RasterConfig, use_depth16: bool = False,
               capacity: Optional[int] = None,
-              padded_capacity: Optional[int] = None,
               **kwargs) -> RasterOut:
   """map_to_tiles + rasterize_with_tiles (reference function.py:129-161)."""
   assert gaussians2d.shape[0] == depth.shape[0] == features.shape[0], (
       f"Size mismatch: {gaussians2d.shape}, {depth.shape}, {features.shape}")
   mapping = map_to_tiles(gaussians2d, depth, image_size, config,
-                         capacity=capacity, use_depth16=use_depth16,
-                         padded_capacity=padded_capacity)
+                         capacity=capacity, use_depth16=use_depth16)
   return rasterize_with_tiles(gaussians2d, features, mapping, image_size,
                               config, **kwargs)

@@ -69,9 +69,15 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
   starts = mapping.tile_ranges[:, 0]
   counts = mapping.tile_ranges[:, 1] - starts
 
-  px, py = tiles.tile_pixel_centers((th, tw), ts, dtype)     # (T, P)
+  # tile-local pixel coordinates, matching the Pallas kernels bit-for-bit
+  lin = jnp.arange(p, dtype=jnp.int32)
+  px_l = ((lin % ts).astype(dtype) + 0.5)[:, None]           # (P, 1)
+  py_l = ((lin // ts).astype(dtype) + 0.5)[:, None]
+  t_idx = jnp.arange(th * tw, dtype=jnp.int32)
+  org_x = (t_idx % tw).astype(dtype) * ts
+  org_y = (t_idx // tw).astype(dtype) * ts
 
-  def render_tile(start, count, px_t, py_t):
+  def render_tile(start, count, ox, oy):
     idx = jax.lax.dynamic_slice(otp, (start,), (mb,))        # (MB,)
     # mask bin entries beyond the live range (padding is sentinel already,
     # but a too-small mb must not silently read a neighbour's bin)
@@ -81,14 +87,15 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
     pts = pts_cols[:, idx]                                   # (8, MB)
     feats_t = feats_cols[:, idx]                             # (F, MB)
 
-    pdf = blend.chunk_pdf(pts, px_t[:, None], py_t[:, None],
-                          config.antialias)                  # (P, MB)
+    pdf = blend.chunk_pdf(pts, px_l, py_l,
+                          config.antialias, origin=(ox, oy))  # (P, MB)
     w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
                             jnp.ones((p, 1), dtype), config,
                             blending=config.use_alpha_blending)
 
     img = jax.lax.dot_general(feats_t, w.weight, (((1,), (1,)), ((), ())),
-                              preferred_element_type=dtype)  # (F, P)
+                              preferred_element_type=dtype,
+          precision=jax.lax.Precision.HIGHEST)  # (F, P)
     if config.use_alpha_blending:
       alpha = jnp.sum(w.weight, axis=1)[None, :]             # (1, P)
     else:
@@ -96,7 +103,8 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
     vis = jnp.sum(w.weight, axis=0) if compute_visibility else None
     return jnp.concatenate([img, alpha], axis=0), idx, vis
 
-  tiled, idx_all, vis_all = jax.vmap(render_tile)(starts, counts, px, py)
+  tiled, idx_all, vis_all = jax.vmap(render_tile)(starts, counts,
+                                                  org_x, org_y)
 
   image_full = tiles.tiles_to_image(tiled, (th, tw), ts, image_size)
   image = image_full[..., :f]

@@ -28,10 +28,17 @@ def unproject_points_camera(uv, depth, projection):
 def unproject_points(uv, depth, camera: "CameraParams"):
   """Inverse of the full image projection (torch_lib/projection.py:57-62),
   using closed-form intrinsic and rigid inverses — a general 4x4
-  `linalg.inv` of T_image_world is too ill-conditioned for f32 on TPU."""
+  `linalg.inv` of T_image_world is too ill-conditioned for f32 on TPU.
+
+  The R^T (x - t) product is unrolled to elementwise ops: an `@` would
+  hit the MXU at bf16 precision on TPU, making the generated scene
+  backend-dependent (CPU vs TPU tests would diverge at the input)."""
   cam_xyz = unproject_points_camera(uv, depth, camera.projection)
   R, t = lib.split_rt(camera.T_camera_world)
-  return (cam_xyz - t) @ R  # == R^T @ (x - t) batched
+  d = cam_xyz - t
+  return jnp.stack(
+      [d[..., 0] * R[0, i] + d[..., 1] * R[1, i] + d[..., 2] * R[2, i]
+       for i in range(3)], axis=-1)
 
 
 def random_camera(key, pos_scale: float = 1.0,
@@ -43,9 +50,13 @@ def random_camera(key, pos_scale: float = 1.0,
 
   q = lib.safe_normalize(jax.random.normal(k1, (4,), dtype))
   t = jax.random.normal(k2, (3,), dtype) * pos_scale
-  # closed-form rigid inverse (f32 linalg.inv is inaccurate on TPU)
+  # closed-form rigid inverse (f32 linalg.inv is inaccurate on TPU);
+  # R^T t unrolled elementwise so the camera is backend-identical (an
+  # `@` runs at bf16 on the TPU MXU)
   R = lib.quat_to_mat(q)
-  T_camera_world = lib.join_rt(R.T, -(R.T @ t))
+  rt_t = jnp.stack(
+      [R[0, i] * t[0] + R[1, i] * t[1] + R[2, i] * t[2] for i in range(3)])
+  T_camera_world = lib.join_rt(R.T, -rt_t)
 
   if image_size is None:
     min_size, max_size = image_size_range

@@ -84,9 +84,11 @@ def test_mapper_matches_oracle(seed):
   depths = np.asarray(depth).reshape(-1)
 
   total = 0
+  prev_end = 0
   for t, expected in enumerate(bins):
     s, e = ranges[t]
-    assert s % config.points_per_chunk == 0, "bin starts must be chunk-aligned"
+    assert s == prev_end, "bins must abut contiguously"
+    prev_end = e
     got = otp[s:e].tolist()
     assert n not in got, "sentinel inside a live range"
     # same set of points
@@ -94,12 +96,11 @@ def test_mapper_matches_oracle(seed):
     # sorted by depth (ties in any order)
     got_d = depths[got]
     assert (np.diff(got_d) >= -1e-12).all(), f"tile {t} not depth sorted"
-    # padding after the range is sentinel up to the chunk boundary
-    pad_end = s + -(-len(got) // config.points_per_chunk) * config.points_per_chunk
-    assert (otp[e:pad_end] == n).all()
     total += len(expected)
 
   assert int(mapping.total_overlaps) == total
+  # every slot past the live range is sentinel
+  assert (otp[total:] == n).all()
 
 
 def test_mapper_depth16_ordering():
@@ -134,7 +135,7 @@ def test_mapper_empty_and_culled():
 
 def test_mapper_overflow_flag():
   image_size = (128, 128)
-  # tiny chunk + zero capacity: the padded bins cannot fit, must flag
+  # capacity far below the real overlap count: must flag
   config = RasterConfig(tile_size=16, points_per_chunk=8)
   points, depth = make_scene(0, 200, image_size)
   mapping = map_to_tiles(points, depth, image_size, config, capacity=8)
@@ -191,3 +192,14 @@ def test_mapper_emit_tails_crop_flags_overflow():
   mapping = map_to_tiles(points, depth, image_size, config,
                          emit_tails=(120, 0, 0, 0, 0))
   assert bool(mapping.overflow)
+
+
+def test_mapper_zero_points():
+  image_size = (64, 64)
+  config = RasterConfig(tile_size=16)
+  pts = jnp.zeros((0, 7))
+  mapping = map_to_tiles(pts, jnp.zeros((0,)), image_size, config)
+  assert int(mapping.total_overlaps) == 0
+  assert not bool(mapping.overflow)
+  assert (np.asarray(mapping.overlap_to_point) == 0).all()  # sentinel == n
+  assert mapping.point_offsets.shape == (1,)

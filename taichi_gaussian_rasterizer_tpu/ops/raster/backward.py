@@ -107,6 +107,7 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       mmat = jnp.concatenate(
           [jnp.ones((1, p), dtype), px_r, py_r,
            px_r * px_r, px_r * py_r, py_r * py_r], axis=0)   # (6, P)
+      basis = blend.pixel_basis(px, py)                      # (P, 8)
 
     grad = grad_ref[0]        # (F_pad, P): F features, alpha row, zeros
     e_col = e_ref[0]          # (P, 1)
@@ -161,15 +162,19 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       # zero-alpha the lanes outside [start, end): foreign boundary slots
       # produce exactly-zero gradients in every output row
       s_idx = fstart + c * g + lane
-      mask = ((s_idx >= start) & (s_idx < end)).astype(dtype)
-      pa = blend.point_row(pts, blend.ALPHA) * mask   # (1, G)
+      mask = (s_idx >= start) & (s_idx < end)
 
       if config.antialias:
+        pa = blend.point_row(pts, blend.ALPHA) * mask.astype(dtype)
         (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
             blend.chunk_pdf_with_grads(pts, px, py, True, origin=origin))
+        w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
       else:
-        pdf, tu, tv = blend.chunk_pdf_parts(pts, px, py, origin=origin)
-      w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
+        # coefficient-matmul alpha field (see blend.quad_coeffs): masked
+        # lanes get exactly-zero alpha, hence zero gate and gradients
+        coeffs = blend.quad_coeffs(pts, origin=origin, mask=mask)
+        a_raw = jnp.exp(blend.chunk_log_alpha(basis, coeffs))
+        w = blend.chunk_weights_raw(a_raw, t_carry, config, blending=True)
 
       # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
       # via the ones row at F; padding rows are zero on both sides)
@@ -197,11 +202,11 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
       else:
         # moment-based reduction: the six pdf-parameter rows are exact
         # per-point linear combinations of six pixel moments of
-        # B = dL/da_raw * alpha * pdf (verified against the full-field
-        # formulation; u = tu/sx, v = tv/sy, d = pixel - mean):
-        #   col(B*dx) etc. expand via dx = px - mean_x into the moments.
-        B0 = ag.dL_da_raw * pdf                       # (P, G)
-        B = B0 * pa
+        # B = dL/da_raw * alpha * pdf = dL/da_raw * a_raw (verified
+        # against the full-field formulation; u = tu/sx, v = tv/sy,
+        # d = pixel - mean): col(B*dx) etc. expand via dx = px - mean_x
+        # into the moments.
+        B = ag.dL_da_raw * a_raw                      # (P, G)
         mom = jax.lax.dot_general(
             mmat, B, (((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
@@ -241,22 +246,36 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
         gout_vmem[slot, 3:4, :] = -(btudy * isx2 - btvdx * isy2)
         gout_vmem[slot, 4:5, :] = btutu * isx2 / sxr
         gout_vmem[slot, 5:6, :] = btvtv * isy2 / syr
-        gout_vmem[slot, 6:7, :] = col(B0)
+        # alpha row: col(dL_da_raw * pdf) = col(B) / pa = m0 / pa
+        # (masked/gated lanes have B = 0, so m0 = 0 and the row is 0;
+        # the sentinel's pa = 0 is guarded to 0)
+        pa_r = blend.point_row(pts, blend.ALPHA)
+        gout_vmem[slot, 6:7, :] = jnp.where(pa_r > 0, m0 / pa_r, 0.0)
       gout_vmem[slot, 7:8, :] = jnp.zeros((1, g), dtype)
 
       if compute_point_heuristic:
         # reference backward.py:194-198: per pixel aag = point_alpha *
         # dL/da_raw; prune cost = sum_p aag^2, split score =
         # sum_p |aag * dp_dmean|_1 (absolute values - no moment shortcut)
-        aag = ag.dL_da_raw * pa
-        if not config.antialias:
-          isx2 = 1.0 / (sxr * sxr)
-          isy2 = 1.0 / (syr * syr)
-          d_mx = pdf * (tu * isx2 * axr - tv * isy2 * ayr)
-          d_my = pdf * (tu * isx2 * ayr + tv * isy2 * axr)
-        gout_vmem[slot, 8:9, :] = col(aag * aag)
-        gout_vmem[slot, 9:10, :] = col(
-            jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+        if config.antialias:
+          aag = ag.dL_da_raw * pa
+          gout_vmem[slot, 8:9, :] = col(aag * aag)
+          gout_vmem[slot, 9:10, :] = col(
+              jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+        else:
+          # aag = dL_da_raw * pa and d_m = pdf * q (q linear in tu, tv):
+          # aag^2 = pa^2 * dL_da_raw^2 and |aag * d_m| = |B * q|, so the
+          # pdf field itself is never materialized
+          dx = px - (blend.point_row(pts, blend.MEAN_X) - origin[0])
+          dy = py - (blend.point_row(pts, blend.MEAN_Y) - origin[1])
+          tu = dx * axr + dy * ayr
+          tv = dy * axr - dx * ayr
+          qx = tu * (isx2 * axr) - tv * (isy2 * ayr)
+          qy = tu * (isx2 * ayr) + tv * (isy2 * axr)
+          gout_vmem[slot, 8:9, :] = (pa_r * pa_r) * col(
+              ag.dL_da_raw * ag.dL_da_raw)
+          gout_vmem[slot, 9:10, :] = col(
+              jnp.abs(B * qx) + jnp.abs(B * qy))
         gout_vmem[slot, 10:16, :] = jnp.zeros((6, g), dtype)
 
       # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]

@@ -78,25 +78,6 @@ def chunk_pdf(pts, px, py, antialias: bool, origin=(0.0, 0.0)):
   return 2.0 * jnp.pi * ix * iy
 
 
-def chunk_pdf_parts(pts, px, py, origin=(0.0, 0.0)):
-  """Plain gaussian pdf plus its eigen-basis projections.
-
-  Returns (pdf, tu, tv), each (P, G), with tu = d.axis, tv = d.perp(axis)
-  — the pieces the backward kernel's moment-based gradient reduction
-  needs (see backward.py)."""
-  dx = px - (point_row(pts, MEAN_X) - origin[0])
-  dy = py - (point_row(pts, MEAN_Y) - origin[1])
-  ax = point_row(pts, AXIS_X)
-  ay = point_row(pts, AXIS_Y)
-  sx = point_row(pts, SIGMA_X)
-  sy = point_row(pts, SIGMA_Y)
-  tu = dx * ax + dy * ay
-  tv = dy * ax - dx * ay
-  u = tu / sx
-  v = tv / sy
-  return jnp.exp(-0.5 * (u * u + v * v)), tu, tv
-
-
 def chunk_pdf_with_grads(pts, px, py, antialias: bool, origin=(0.0, 0.0)):
   """pdf plus analytic partials wrt mean, axis, sigma.
 
@@ -157,16 +138,108 @@ def chunk_pdf_with_grads(pts, px, py, antialias: bool, origin=(0.0, 0.0)):
   return p, d_mx, d_my, d_ax, d_ay, d_sx, d_sy
 
 
+def pixel_basis(px, py, dtype=None):
+  """(P, 1) tile-local pixel centers -> (P, 8) quadratic monomial basis
+  [px^2, py^2, px*py, px, py, 1, 0, 0] (padded to 8 for sublane
+  alignment). One per kernel invocation; pairs with quad_coeffs."""
+  dtype = dtype or px.dtype
+  p = px.shape[0]
+  one = jnp.ones((p, 1), dtype)
+  zero = jnp.zeros((p, 1), dtype)
+  return jnp.concatenate(
+      [px * px, py * py, px * py, px, py, one, zero, zero], axis=1)
+
+
+# clamp for log(alpha) of masked/sentinel lanes: large-negative but finite
+# (an actual -inf would poison the coefficient matmul with 0 * -inf)
+LOG_ALPHA_FLOOR = -1e4
+
+
+def quad_coeffs(pts, origin=(0.0, 0.0), mask=None):
+  """Per-point quadratic-form coefficients of log(alpha * pdf).
+
+  The gaussian log-density is a quadratic polynomial in the pixel
+  coordinates, so the whole (P, G) field log(point_alpha * pdf) is ONE
+  MXU matmul pixel_basis(px, py) @ quad_coeffs(pts): with
+  u = ((px-mx)*ax + (py-my)*ay)/sx, v = ((py-my)*ax - (px-mx)*ay)/sy,
+  log a = log pa - (u^2+v^2)/2 expands over the monomials
+  [px^2, py^2, px*py, px, py, 1]. This replaces ~15 per-(pixel, point)
+  VPU field ops with per-point row math + a (P, 8) x (8, G) matmul.
+  Non-antialias only (the antialiased pdf is not pixel-polynomial).
+
+  pts: (8, G) packed rows; origin: tile origin (tile-local frame keeps
+  the monomials small: |px| <= tile_size, so f32 expansion error in
+  log a stays ~1e-4). mask: optional (1, G) bool; masked lanes get
+  log pa = LOG_ALPHA_FLOOR, i.e. exactly-zero alpha after exp.
+  Returns (8, G): [cxx, cyy, cxy, cx, cy, c0, 0, 0].
+  """
+  dtype = pts.dtype
+  g = pts.shape[1]
+  mx = point_row(pts, MEAN_X) - origin[0]
+  my = point_row(pts, MEAN_Y) - origin[1]
+  ax = point_row(pts, AXIS_X)
+  ay = point_row(pts, AXIS_Y)
+  isx = 1.0 / point_row(pts, SIGMA_X)
+  isy = 1.0 / point_row(pts, SIGMA_Y)
+  pa = point_row(pts, ALPHA)
+
+  # u = (px*ax + py*ay - du) / sx ; v = (py*ax - px*ay - dv) / sy
+  du = mx * ax + my * ay
+  dv = my * ax - mx * ay
+  axx = ax * isx
+  ayx = ay * isx
+  ayy = ax * isy          # v's py coefficient / sy
+  axy = ay * isy          # v's -px coefficient / sy
+  dux = du * isx
+  dvy = dv * isy
+
+  cxx = -0.5 * (axx * axx + axy * axy)
+  cyy = -0.5 * (ayx * ayx + ayy * ayy)
+  cxy = -(axx * ayx - axy * ayy)
+  cx = axx * dux - axy * dvy
+  cy = ayx * dux + ayy * dvy
+  log_pa = jnp.maximum(jnp.log(jnp.maximum(pa, 0.0)), LOG_ALPHA_FLOOR)
+  if mask is not None:
+    log_pa = jnp.where(mask, log_pa, LOG_ALPHA_FLOOR)
+  c0 = log_pa - 0.5 * (dux * dux + dvy * dvy)
+  zero = jnp.zeros((1, g), dtype)
+  return jnp.concatenate([cxx, cyy, cxy, cx, cy, c0, zero, zero], axis=0)
+
+
+def chunk_log_alpha(basis, coeffs):
+  """(P, 8) pixel basis x (8, G) coefficients -> (P, G) log(pa * pdf)."""
+  return jax.lax.dot_general(
+      basis, coeffs, (((1,), (0,)), ((), ())),
+      preferred_element_type=basis.dtype,
+      precision=jax.lax.Precision.HIGHEST)
+
+
 def exclusive_cumsum_lanes(x):
   """Exclusive cumsum along the point (lane) axis via strictly-upper-
-  triangular matmul: out[:, g] = sum_{k<g} x[:, k]. (P, G) -> (P, G)."""
+  triangular matmul: out[:, g] = sum_{k<g} x[:, k]. (P, G) -> (P, G).
+
+  These two matmuls per chunk (transmittance here, the running wd sum in
+  the backward) are the dominant MXU work in both raster kernels:
+  (P, G) x (G, G) dwarfs the (P, 8) coefficient and (F, G) feature
+  products. For f32 a manual two-pass bf16 hi/lo split is used instead
+  of Precision.HIGHEST (6 MXU passes; Mosaic has no HIGH): the
+  triangular operand is exact in bf16 and the accumulator is f32, so
+  splitting only the value operand leaves ~2^-17 relative error per term
+  at 1/3 the MXU cost."""
   g = x.shape[1]
   row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
   col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
   tri = (row < col).astype(x.dtype)
-  return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
-                             preferred_element_type=x.dtype,
-                             precision=jax.lax.Precision.HIGHEST)
+
+  def dot(v, precision):
+    return jax.lax.dot_general(v, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=x.dtype,
+                               precision=precision)
+
+  if x.dtype != jnp.float32:
+    return dot(x, jax.lax.Precision.HIGHEST)
+  hi = x.astype(jnp.bfloat16).astype(x.dtype)
+  return dot(hi, None) + dot(x - hi, None)
 
 
 class ChunkWeights(NamedTuple):
@@ -185,8 +258,16 @@ def chunk_weights(pdf, point_alpha, t_carry, config: RasterConfig,
   pdf: (P, G); point_alpha: (1, G) packed-alpha row; t_carry: (P, 1)
   transmittance carried from previous chunks.
   """
-  dtype = pdf.dtype
-  a_raw = point_alpha * pdf
+  return chunk_weights_raw(point_alpha * pdf, t_carry, config,
+                           blending=blending)
+
+
+def chunk_weights_raw(a_raw, t_carry, config: RasterConfig,
+                      blending: bool = True) -> ChunkWeights:
+  """chunk_weights from the pre-gate alpha field a_raw = point_alpha *
+  pdf (P, G) directly — the coefficient-matmul kernels compute a_raw as
+  exp(chunk_log_alpha(...)) without materializing the pdf."""
+  dtype = a_raw.dtype
   clamp_ok = a_raw < config.clamp_max_alpha
   a_clamped = jnp.minimum(a_raw, jnp.asarray(config.clamp_max_alpha, dtype))
   thresh_ok = a_raw > config.alpha_threshold

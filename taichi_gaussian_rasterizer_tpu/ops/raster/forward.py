@@ -133,6 +133,8 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
     img_ref[0] = jnp.zeros((feature_size + 1, p), dtype)
     ones_row = jnp.ones((1, g), dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    if not config.antialias:
+      basis = blend.pixel_basis(px, py)       # (P, 8) monomials
 
     k_cap_total = comb_hbm.shape[1]
 
@@ -152,18 +154,28 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       def _():
         chunk_dma(0, 0).start()
 
-    def lane_mask(c, dtype):
-      # zero-alpha the lanes of this chunk outside [start, end): foreign
+    def lane_mask(c):
+      # lanes of this chunk outside [start, end) are zero-alpha'd: foreign
       # (adjacent-tile) slots in boundary chunks become exact no-ops
       s = fstart + c * g + lane
-      return ((s >= start) & (s < end)).astype(dtype)
+      return (s >= start) & (s < end)
 
     def compute_chunk(c, t_carry, pts, feats):
 
-      pdf = blend.chunk_pdf(pts, px, py, config.antialias,
-                            origin=origin)                   # (P, G)
-      pa = blend.point_row(pts, blend.ALPHA) * lane_mask(c, dtype)
-      w = blend.chunk_weights(pdf, pa, t_carry, config, blending=blending)
+      if config.antialias:
+        pdf = blend.chunk_pdf(pts, px, py, True, origin=origin)   # (P, G)
+        pa = (blend.point_row(pts, blend.ALPHA)
+              * lane_mask(c).astype(dtype))
+        w = blend.chunk_weights(pdf, pa, t_carry, config,
+                                blending=blending)
+      else:
+        # log(pa * pdf) is quadratic in pixel coords: one MXU matmul of
+        # the pixel-monomial basis with per-point coefficients replaces
+        # the per-(pixel, point) pdf field math (blend.quad_coeffs)
+        coeffs = blend.quad_coeffs(pts, origin=origin, mask=lane_mask(c))
+        a_raw = jnp.exp(blend.chunk_log_alpha(basis, coeffs))
+        w = blend.chunk_weights_raw(a_raw, t_carry, config,
+                                    blending=blending)
 
       img = jax.lax.dot_general(
           feats, w.weight, (((1,), (1,)), ((), ())),

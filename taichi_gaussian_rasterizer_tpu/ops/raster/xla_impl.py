@@ -87,11 +87,19 @@ def rasterize_tiles_xla(points: jax.Array, features: jax.Array,
     pts = pts_cols[:, idx]                                   # (8, MB)
     feats_t = feats_cols[:, idx]                             # (F, MB)
 
-    pdf = blend.chunk_pdf(pts, px_l, py_l,
-                          config.antialias, origin=(ox, oy))  # (P, MB)
-    w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
-                            jnp.ones((p, 1), dtype), config,
-                            blending=config.use_alpha_blending)
+    if config.antialias:
+      pdf = blend.chunk_pdf(pts, px_l, py_l, True, origin=(ox, oy))
+      w = blend.chunk_weights(pdf, blend.point_row(pts, blend.ALPHA),
+                              jnp.ones((p, 1), dtype), config,
+                              blending=config.use_alpha_blending)
+    else:
+      # same coefficient-matmul alpha field as the Pallas kernels, so
+      # threshold/clamp gates agree between implementations bit-for-bit
+      coeffs = blend.quad_coeffs(pts, origin=(ox, oy))
+      a_raw = jnp.exp(blend.chunk_log_alpha(blend.pixel_basis(px_l, py_l),
+                                            coeffs))
+      w = blend.chunk_weights_raw(a_raw, jnp.ones((p, 1), dtype), config,
+                                  blending=config.use_alpha_blending)
 
     img = jax.lax.dot_general(feats_t, w.weight, (((1,), (1,)), ((), ())),
                               preferred_element_type=dtype,

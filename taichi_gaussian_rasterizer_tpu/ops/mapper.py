@@ -136,35 +136,54 @@ jax.tree_util.register_dataclass(
 
 def _footprint(points: jax.Array, image_size, tile_size: int,
                alpha_threshold: float, max_span: int):
-  """Per-gaussian tile-footprint and OBB data (grid_query.py:72-91).
-  Invalid gaussians (alpha below threshold) get span 0."""
-  mean, axis, sigma, alpha = lib.unpack_g2d(points)
+  """Per-gaussian tile-footprint and OBB data (grid_query.py:72-91),
+  as flat 1-D column arrays. Invalid gaussians (alpha below threshold)
+  get span 0.
+
+  Column (not (N, 2)-shaped) arrays matter on TPU: a (N, 2) f32 array
+  occupies 2 of 128 vreg lanes, so every elementwise op on it runs at
+  ~1.6% lane utilization — profiled as a ~20 ms tail of broadcasts and
+  reshapes in the round-2 mapper. 1-D arrays pack lanes fully.
+
+  Returns dict with 1-D entries: mx, my (mean), tx0, ty0 (min tile),
+  span_x, span_y, ib00, ib01, ib10, ib11 (inverse OBB basis rows), and
+  the scalar `clipped`."""
+  mx, my = points[:, 0], points[:, 1]
+  ax, ay = points[:, 2], points[:, 3]
+  sx, sy = points[:, 4], points[:, 5]
+  alpha = points[:, 6]
 
   valid = alpha > alpha_threshold
   gs = lib.gaussian_scale_factor(alpha, alpha_threshold)
-  radii = sigma * gs[:, None]
-  safe_radii = jnp.maximum(radii, 1e-12)
+  r0 = jnp.maximum(sx * gs, 1e-12)
+  r1 = jnp.maximum(sy * gs, 1e-12)
 
-  u1 = axis * radii[:, 0:1]
-  u2 = lib.perp(axis) * radii[:, 1:2]
-  lower, upper = lib.ellipse_bounds(mean, u1, u2)
+  # ellipse AABB: axes u1 = axis * r0, u2 = perp(axis) * r1
+  ext_x = jnp.sqrt((ax * r0) ** 2 + (ay * r1) ** 2)
+  ext_y = jnp.sqrt((ay * r0) ** 2 + (ax * r1) ** 2)
 
   tw, th = num_tiles(image_size, tile_size)
-  ntiles = jnp.asarray([tw, th], jnp.int32)
 
-  min_tile = jnp.clip(jnp.floor(lower / tile_size).astype(jnp.int32),
-                      0, ntiles - 1)
-  max_tile = jnp.ceil(upper / tile_size).astype(jnp.int32)
-  max_tile = jnp.minimum(jnp.maximum(max_tile, min_tile + 1), ntiles)
+  def axis_range(m, ext, nt):
+    lo = jnp.clip(jnp.floor((m - ext) / tile_size).astype(jnp.int32),
+                  0, nt - 1)
+    hi = jnp.ceil((m + ext) / tile_size).astype(jnp.int32)
+    hi = jnp.minimum(jnp.maximum(hi, lo + 1), nt)
+    return lo, hi
 
-  raw_span = jnp.where(valid[:, None], max_tile - min_tile, 0)
-  span = jnp.clip(raw_span, 0, max_span)
-  clipped = jnp.any(raw_span > max_span)
+  tx0, tx1 = axis_range(mx, ext_x, tw)
+  ty0, ty1 = axis_range(my, ext_y, th)
 
-  inv_basis = jnp.stack(
-      [axis / safe_radii[:, 0:1], lib.perp(axis) / safe_radii[:, 1:2]],
-      axis=1)
-  return min_tile, span, inv_basis, mean, clipped
+  raw_x = jnp.where(valid, tx1 - tx0, 0)
+  raw_y = jnp.where(valid, ty1 - ty0, 0)
+  clipped = jnp.any(raw_x > max_span) | jnp.any(raw_y > max_span)
+
+  return dict(
+      mx=mx, my=my, tx0=tx0, ty0=ty0,
+      span_x=jnp.clip(raw_x, 0, max_span),
+      span_y=jnp.clip(raw_y, 0, max_span),
+      ib00=ax / r0, ib01=ay / r0, ib10=-ay / r1, ib11=ax / r1,
+      clipped=clipped)
 
 
 def _sat_accept(lo_x, lo_y, ib, tile_size):
@@ -239,10 +258,9 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     capacity = default_capacity(n, image_size, tile_size)
 
   # footprint sizes on the original order (for the bucket keys only)
-  _, span0, _, _, span_clipped = _footprint(
-      points, image_size, tile_size, config.alpha_threshold,
-      config.max_tile_span)
-  p0 = (span0[:, 0] * span0[:, 1]).astype(jnp.int32)
+  fp0 = _footprint(points, image_size, tile_size, config.alpha_threshold,
+                   config.max_tile_span)
+  p0 = (fp0["span_x"] * fp0["span_y"]).astype(jnp.int32)
   perm = _partition_by_bucket(p0)
 
   # one combined (N, 8) gather of everything emission needs; footprint
@@ -253,50 +271,95 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   points_s = pts_depth_s[:, :7]
   depth_s = pts_depth_s[:, 7]
 
-  min_tile_s, span_s, inv_basis_s, mean_s, _ = _footprint(
-      points_s, image_size, tile_size, config.alpha_threshold,
-      config.max_tile_span)
-  p_s = (span_s[:, 0] * span_s[:, 1]).astype(jnp.int32)
+  fp = _footprint(points_s, image_size, tile_size, config.alpha_threshold,
+                  config.max_tile_span)
+  p_s = (fp["span_x"] * fp["span_y"]).astype(jnp.int32)
   counts_budgeted = jnp.minimum(p_s, _emittable_budget(n, emit_tails))
-  cropped = jnp.any(counts_budgeted < p_s) | span_clipped
+  cropped = jnp.any(counts_budgeted < p_s) | fp0["clipped"]
 
   # ---- emit the candidate stream (static size; sentinels for invalid) ----
-  # each candidate carries (tile key, depth key, original point index) by
-  # row broadcast — contiguous slices, never gathers
+  # Per candidate slot j a 1-D column over the round's point tail: flat
+  # arrays keep all 128 vreg lanes busy (a (tail, width) 2-D layout
+  # with width < 128 runs at width/128 lane utilization — profiled as a
+  # ~20 ms broadcast/reshape tail in the round-2 mapper). Stream order
+  # becomes j-major, which the (tile, depth) sort erases. Plain slicing
+  # only — index-array reads would become XLA gathers even for
+  # contiguous ranges.
   if use_depth16:
     d16_s = (jnp.clip(depth_s, 0.0, 1.0) * 65535.0).astype(jnp.uint32)
+  perm_i = perm.astype(jnp.int32)
 
   def emit(lo_q, j_lo, j_hi):
-    # plain slicing only — index-array reads would become XLA gathers
-    # (~20ns/row) even for contiguous ranges
-    j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)
+    sx = fp["span_x"][lo_q:]
+    # j // sx via floats: integer division by a dynamic divisor is a
+    # multi-op VPU sequence, but floor((j + 0.5) * (1/sx)) is exact for
+    # j < 2^12 (the +0.5 keeps the product strictly between integer
+    # boundaries, 0.5/sx >> f32 rounding), and the reciprocal is one
+    # column for all j
+    recip = 1.0 / jnp.maximum(sx, 1).astype(points.dtype)
+    budget = counts_budgeted[lo_q:]
+    tx0 = fp["tx0"][lo_q:]
+    ty0 = fp["ty0"][lo_q:]
+    mxc = fp["mx"][lo_q:]
+    myc = fp["my"][lo_q:]
+    ib = (fp["ib00"][lo_q:], fp["ib01"][lo_q:],
+          fp["ib10"][lo_q:], fp["ib11"][lo_q:])
+    orig = perm_i[lo_q:]
+    d16c = d16_s[lo_q:] if use_depth16 else None
+    depc = depth_s[lo_q:]
 
-    sx = span_s[lo_q:, 0][:, None]
-    jy = jnp.where(sx > 0, j[None, :] // jnp.maximum(sx, 1), 0)
-    jx = jnp.where(sx > 0, j[None, :] % jnp.maximum(sx, 1), 0)
-    in_span = j[None, :] < counts_budgeted[lo_q:][:, None]
+    def make(jv, jy, jx, tx0, ty0, mxc, myc, budget, ib, orig, d16c, depc):
+      # jv/jy/jx and the columns must be mutually broadcastable
+      tx = tx0 + jx
+      ty = ty0 + jy
+      tile_id = tx + ty * tw
+      lo_x = (tx * tile_size).astype(points.dtype) - mxc
+      lo_y = (ty * tile_size).astype(points.dtype) - myc
+      accept = (jv < budget) & _sat_accept(lo_x, lo_y, ib, tile_size)
+      pv = jnp.where(accept, orig, n)
+      if use_depth16:
+        key = ((jnp.where(accept, tile_id.astype(jnp.uint32),
+                          jnp.uint32(0xFFFF)) << 16) | d16c)
+      else:
+        key = (jnp.where(accept, tile_id, TILE_SENTINEL),
+               jnp.broadcast_to(depc, tile_id.shape))
+      return key, pv, accept
 
-    tx = min_tile_s[lo_q:, 0][:, None] + jx
-    ty = min_tile_s[lo_q:, 1][:, None] + jy
-    tile_id = (tx + ty * tw).astype(jnp.int32)
+    if j_hi - j_lo <= 4:
+      # the high-volume narrow rounds: one 1-D column per j, unrolled
+      keys_j, pv_j, acc = [], [], jnp.zeros(sx.shape, jnp.int32)
+      for j in range(j_lo, j_hi):
+        if j == 0:
+          jy = jx = jnp.zeros(sx.shape, jnp.int32)
+        else:
+          jy = jnp.floor((j + 0.5) * recip).astype(jnp.int32)
+          jx = j - jy * sx
+        key, pv, accept = make(jnp.asarray(j, jnp.int32), jy, jx,
+                               tx0, ty0, mxc, myc, budget, ib, orig,
+                               d16c, depc)
+        keys_j.append(key)
+        pv_j.append(pv)
+        acc = acc + accept
+      return keys_j, pv_j, acc
 
-    lo_x = (tx * tile_size).astype(points.dtype) - mean_s[lo_q:, 0][:, None]
-    lo_y = (ty * tile_size).astype(points.dtype) - mean_s[lo_q:, 1][:, None]
-    ib = tuple(inv_basis_s[lo_q:, a, b][:, None]
-               for a in range(2) for b in range(2))
-    accept = in_span & _sat_accept(lo_x, lo_y, ib, tile_size)
+    # wide rounds cover only small static tails: the classic 2-D form
+    # keeps the unrolled graph (and compile time) bounded; the lane
+    # under-utilization is negligible at these sizes
+    j = jnp.arange(j_lo, j_hi, dtype=jnp.int32)[None, :]
+    jf = j.astype(points.dtype) + 0.5
+    jy = jnp.floor(jf * recip[:, None]).astype(jnp.int32)
+    jx = j - jy * sx[:, None]
 
-    orig = perm[lo_q:][:, None].astype(jnp.int32)
-    pv = jnp.where(accept, jnp.broadcast_to(orig, tile_id.shape), n)
-    acc_count = jnp.sum(accept, axis=1).astype(jnp.int32)
+    def col2(x):
+      return x[:, None]
 
-    if use_depth16:
-      key = (jnp.where(accept, tile_id.astype(jnp.uint32),
-                       jnp.uint32(0xFFFF)) << 16) | d16_s[lo_q:][:, None]
-      return (key.ravel(),), pv.ravel(), acc_count
-    tk = jnp.where(accept, tile_id, TILE_SENTINEL)
-    dk = jnp.broadcast_to(depth_s[lo_q:][:, None], tk.shape)
-    return (tk.ravel(), dk.ravel()), pv.ravel(), acc_count
+    key, pv, accept = make(
+        j, jy, jx, col2(tx0), col2(ty0), col2(mxc), col2(myc),
+        col2(budget), tuple(map(col2, ib)), col2(orig),
+        col2(d16c) if use_depth16 else None, col2(depc))
+    key = key.ravel() if use_depth16 else tuple(k.ravel() for k in key)
+    return ([key], [pv.ravel()],
+            jnp.sum(accept, axis=1).astype(jnp.int32))
 
   key_parts, pv_parts = [], []
   accepted_s = jnp.zeros((n,), jnp.int32)
@@ -306,22 +369,22 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     if tail == 0 or j_edges[r] >= j_edges[r + 1]:
       continue
     keys, pv, acc = emit(n - tail, j_edges[r], j_edges[r + 1])
-    key_parts.append(keys)
-    pv_parts.append(pv)
+    key_parts.extend(keys)
+    pv_parts.extend(pv)
     accepted_s = accepted_s.at[n - tail:].add(acc)
 
   if not pv_parts:
     # n == 0 (or zero emission tails): empty candidate stream
     pv_parts = [jnp.zeros((0,), jnp.int32)]
     if use_depth16:
-      key_parts = [(jnp.zeros((0,), jnp.uint32),)]
+      key_parts = [jnp.zeros((0,), jnp.uint32)]
     else:
       key_parts = [(jnp.zeros((0,), jnp.int32),
                     jnp.zeros((0,), points.dtype))]
 
   cand_pos = jnp.concatenate(pv_parts)       # original point index or n
   if use_depth16:
-    packed = jnp.concatenate([k[0] for k in key_parts])
+    packed = jnp.concatenate(key_parts)
     packed, cand_pos = jax.lax.sort((packed, cand_pos), num_keys=1,
                                     is_stable=True)
     sorted_tiles = jnp.where(packed >= jnp.uint32(0xFFFF0000), TILE_SENTINEL,
@@ -333,13 +396,15 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
         (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=True)
 
   # ---- per-tile ranges in the sorted candidate stream ----
-  tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-  starts = jnp.searchsorted(sorted_tiles, tile_ids,
-                            side="left").astype(jnp.int32)
-  ends = jnp.searchsorted(sorted_tiles, tile_ids,
-                          side="right").astype(jnp.int32)
-  tile_counts = ends - starts
-  total = jnp.sum(tile_counts)
+  # bins abut, so one search over T+1 queries yields starts AND ends:
+  # ends[t] == starts[t+1], with the query t == n_tiles finding the first
+  # sentinel (rejected candidates sort past every real tile id)
+  tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+  starts_ext = jnp.searchsorted(sorted_tiles, tile_ids,
+                                side="left").astype(jnp.int32)
+  starts = starts_ext[:-1]
+  ends = starts_ext[1:]
+  total = starts_ext[-1]
 
   # ---- static-capacity overlap list: the sorted stream itself ----
   # Bins abut with no padding; real overlaps fill [0, total) and
@@ -410,10 +475,9 @@ def probe_emit_tails(points: jax.Array, image_size: Tuple[int, int],
   mapping's overflow flag (footprint crop) as usual.
   """
   n = points.shape[0]
-  _, span, _, _, _ = _footprint(points, image_size, config.tile_size,
-                                config.alpha_threshold,
-                                config.max_tile_span)
-  p = np.asarray((span[:, 0] * span[:, 1]).astype(jnp.int32))
+  fp = _footprint(points, image_size, config.tile_size,
+                  config.alpha_threshold, config.max_tile_span)
+  p = np.asarray((fp["span_x"] * fp["span_y"]).astype(jnp.int32))
   tails = [n]
   for r in range(1, _N_ROUNDS):
     need = int((p > _BUDGETS[r - 1]).sum())

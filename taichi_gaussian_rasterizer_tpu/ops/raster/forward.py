@@ -90,10 +90,34 @@ def feature_rows(features: jax.Array) -> jax.Array:
 
 def gather_combined(points, features, mapping):
   """One bin-ordered combined buffer (8 + F_pad, K_cap): point rows then
-  feature rows — a single gather pass and a single DMA per chunk."""
-  combined = jnp.concatenate(
-      [pack_point_cols(points), feature_rows(features)], axis=0)
-  return jnp.take(combined, mapping.overlap_to_point, axis=1)
+  feature rows — a single DMA per kernel chunk.
+
+  Only the 7 + F live rows are gathered (gather cost on TPU scales with
+  bytes as well as index count, ~1 ms/row at 3M slots); the constant
+  rows — the point pad row, the all-ones virtual alpha channel, feature
+  padding — are broadcast into the concat, which XLA fuses into one
+  cheap bandwidth pass."""
+  n, f = features.shape
+  f_pad = round_up(f + 1, 8)
+  dtype = points.dtype
+  pad7 = jnp.asarray([[0, 0, 1, 0, 1, 1, 0]], dtype)
+  live = jnp.concatenate([
+      jnp.concatenate([points, pad7], axis=0),          # (N+1, 7)
+      jnp.concatenate([features,
+                       jnp.zeros((1, f), dtype)], axis=0),  # (N+1, F)
+  ], axis=1).T                                          # (7+F, N+1)
+  g = jnp.take(live, mapping.overlap_to_point, axis=1)  # (7+F, K)
+  k = g.shape[1]
+  # sentinel feature rows are zero but their virtual alpha must be 1 to
+  # match feature_rows' pad row; the blend zeroes sentinel weights anyway,
+  # so a constant ones row is exact
+  return jnp.concatenate([
+      g[:7],
+      jnp.zeros((1, k), dtype),                         # point pad row
+      g[7:],
+      jnp.ones((1, k), dtype),                          # alpha ones row
+      jnp.zeros((f_pad - f - 1, k), dtype),
+  ], axis=0)
 
 
 def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,

@@ -30,6 +30,7 @@ from ..mapper import TileMapping, map_to_tiles
 from . import tiles
 from .backward import raster_backward_pallas
 from .forward import gather_combined, rasterize_tiles_pallas, round_up
+from .reduce import segment_sums_by_sorted_key
 
 
 class RasterOut(NamedTuple):
@@ -48,21 +49,26 @@ def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
   VALUES ride as payloads through one lax.sort keyed on the slot's point
   index (measured on TPU v5e: payload columns cost ~2 ms each at 4M,
   vs ~25 ns/idx for the round-1 point_perm gather — ~3x cheaper), then
-  one cumulative sum and a prefix difference at the mapper's per-point
-  segment offsets. Sentinel slots (and any uninitialized tail beyond
-  total_overlaps) sort past every real slot, and point_offsets never
-  reach them, so their values are never read."""
+  the Pallas segment-sum kernel (reduce.py) turns the sorted stream into
+  dense per-point sums via one-hot matmuls (replacing a K-wide cumsum +
+  an (N+1)-wide boundary gather, ~13 ms each at 3M slots). Sentinel
+  slots sort past every real slot; point_offsets never reach them."""
   r = slots.shape[0]
+  n = mapping.point_sentinel
   ops = jax.lax.sort(
       (mapping.overlap_to_point,) + tuple(slots[i] for i in range(r)),
       num_keys=1)
+  keys = ops[0]
   grouped = jnp.stack(ops[1:], axis=0)                       # (R, K_cap)
-  pref = jnp.cumsum(grouped, axis=1)
-  pref = jnp.concatenate(
-      [jnp.zeros((r, 1), slots.dtype), pref], axis=1)
-  # one gather at the (N+1) segment boundaries, then a shifted difference
-  at_offsets = jnp.take(pref, mapping.point_offsets, axis=1)  # (R, N+1)
-  out = at_offsets[:, 1:] - at_offsets[:, :-1]
+  k = grouped.shape[1]
+  k_pad = max(round_up(k, 128), 128)
+  if k_pad != k:  # tiny test capacities; production K is 128-aligned
+    keys = jnp.concatenate(
+        [keys, jnp.full((k_pad - k,), n, jnp.int32)])
+    grouped = jnp.concatenate(
+        [grouped, jnp.zeros((r, k_pad - k), grouped.dtype)], axis=1)
+  out = segment_sums_by_sorted_key(keys, grouped,
+                                   mapping.point_offsets, n)
   return out.T                                               # (N, R)
 
 

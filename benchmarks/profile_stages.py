@@ -113,21 +113,29 @@ def main():
       axis=1)
   e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]
 
+  f_rows = g.feature.shape[1]
   gout, ms = timeit(
-      lambda a, b, c: raster_backward_pallas(a, b, c, mapping,
+      lambda a, b, c: raster_backward_pallas(a, b, c, mapping, f=f_rows,
                                              config=config,
                                              satchunks=satchunks),
       gathered, grad_padded, e_tiles, iters=args.iters)
   print(f"raster bwd kernel: {ms:.2f} ms")
-  if args.check:
-    finite("raster bwd", gout)
 
-  # mirror the real backward: only live rows enter the reduction
-  f_rows = g.feature.shape[1]
-  sel = jnp.concatenate([gout[0:7], gout[8:8 + f_rows]], axis=0)
-  red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
+  # mirror the real backward reduction (function.py)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.backward import (
+      live_grad_rows)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      reduce_packed_slots_by_point)
+  live = live_grad_rows(f_rows, False)
+  if gout.dtype == jnp.uint32:
+    sel = gout[:(live + 1) // 2]
+    red = jax.jit(lambda s: reduce_packed_slots_by_point(s, mapping, live))
+  else:
+    sel = gout[:live]
+    red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
   _, ms = timeit(red, sel, iters=args.iters)
-  print(f"point reduction ({sel.shape[0]} rows): {ms:.2f} ms")
+  print(f"point reduction ({sel.shape[0]} rows, "
+        f"{'packed' if gout.dtype == jnp.uint32 else 'plain'}): {ms:.2f} ms")
 
 
 if __name__ == "__main__":

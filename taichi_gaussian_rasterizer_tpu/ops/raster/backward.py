@@ -31,13 +31,14 @@ in the reference's profile). Differences by design:
   gradients by the blend gates, so the backward zero-fills their slots
   instead of replaying them (the reference's warp-vote early exit).
 
-Per-slot gradient row layout (R = pt_rows + F_pad):
-  rows [0..6]  packed point-parameter gradients
-  row  [7]     zero (alignment)
-  rows [8..9]  (prune_cost, split_score) when compute_point_heuristic,
-               then zeros to row 15
-  rows [pt_rows..]  feature gradients (row F = alpha-channel pseudo-grad,
-               dropped outside)
+Per-slot gradient rows are the LIVE rows, contiguous: 7 point-parameter
+gradients, then (prune_cost, split_score) when compute_point_heuristic,
+then the F feature gradients; zeros pad to a multiple of 8 rows. In f32
+the rows are packed pairwise as bf16 halves of one u32 row (row i holds
+live rows 2i | 2i+1): slot gradients are transport — they get summed
+per point in f32 right after — so bf16 quantization costs ~0.2% relative
+on individual slot contributions while halving the gradient sort's
+payload columns and this kernel's output DMA.
 """
 
 import functools
@@ -53,17 +54,17 @@ from . import blend
 from .forward import cdiv_i32, use_interpret
 
 
-def grad_rows(f_pad: int, compute_point_heuristic: bool) -> int:
-  return (16 if compute_point_heuristic else 8) + f_pad
+def live_grad_rows(f: int, compute_point_heuristic: bool) -> int:
+  """7 point-parameter rows [+2 heuristics] + F feature rows."""
+  return 7 + (2 if compute_point_heuristic else 0) + f
 
 
-def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
-                     compute_point_heuristic: bool):
+def _backward_kernel(config: RasterConfig, tile_shape, f: int,
+                     compute_point_heuristic: bool, pack_bf16: bool):
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
   th, tw = tile_shape
-  pt_rows = 16 if compute_point_heuristic else 8
 
   def kernel(starts_ref, ends_ref, nbwd_ref,        # scalar prefetch
              comb_hbm, grad_ref, e_ref,             # inputs
@@ -192,13 +193,13 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
         # full per-(pixel, point) gradient fields (the antialiased pdf's
         # partials are not pixel-polynomial, so no moment shortcut)
         d_pdf = ag.dL_da_raw * pa                     # (P, G)
-        gout_vmem[slot, 0:1, :] = col(d_pdf * d_mx)
-        gout_vmem[slot, 1:2, :] = col(d_pdf * d_my)
-        gout_vmem[slot, 2:3, :] = col(d_pdf * d_ax)
-        gout_vmem[slot, 3:4, :] = col(d_pdf * d_ay)
-        gout_vmem[slot, 4:5, :] = col(d_pdf * d_sx)
-        gout_vmem[slot, 5:6, :] = col(d_pdf * d_sy)
-        gout_vmem[slot, 6:7, :] = col(ag.dL_da_raw * pdf)
+        rows = [col(d_pdf * d_mx),
+                col(d_pdf * d_my),
+                col(d_pdf * d_ax),
+                col(d_pdf * d_ay),
+                col(d_pdf * d_sx),
+                col(d_pdf * d_sy),
+                col(ag.dL_da_raw * pdf)]
       else:
         # moment-based reduction: the six pdf-parameter rows are exact
         # per-point linear combinations of six pixel moments of
@@ -240,18 +241,17 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
         btvdx = axr * bdxy - ayr * bdxx
         btvdy = axr * bdyy - ayr * bdxy
 
-        gout_vmem[slot, 0:1, :] = axr * bus - ayr * bvs
-        gout_vmem[slot, 1:2, :] = ayr * bus + axr * bvs
-        gout_vmem[slot, 2:3, :] = -(btudx * isx2 + btvdy * isy2)
-        gout_vmem[slot, 3:4, :] = -(btudy * isx2 - btvdx * isy2)
-        gout_vmem[slot, 4:5, :] = btutu * isx2 / sxr
-        gout_vmem[slot, 5:6, :] = btvtv * isy2 / syr
         # alpha row: col(dL_da_raw * pdf) = col(B) / pa = m0 / pa
         # (masked/gated lanes have B = 0, so m0 = 0 and the row is 0;
         # the sentinel's pa = 0 is guarded to 0)
         pa_r = blend.point_row(pts, blend.ALPHA)
-        gout_vmem[slot, 6:7, :] = jnp.where(pa_r > 0, m0 / pa_r, 0.0)
-      gout_vmem[slot, 7:8, :] = jnp.zeros((1, g), dtype)
+        rows = [axr * bus - ayr * bvs,
+                ayr * bus + axr * bvs,
+                -(btudx * isx2 + btvdy * isy2),
+                -(btudy * isx2 - btvdx * isy2),
+                btutu * isx2 / sxr,
+                btvtv * isy2 / syr,
+                jnp.where(pa_r > 0, m0 / pa_r, 0.0)]
 
       if compute_point_heuristic:
         # reference backward.py:194-198: per pixel aag = point_alpha *
@@ -259,9 +259,8 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
         # sum_p |aag * dp_dmean|_1 (absolute values - no moment shortcut)
         if config.antialias:
           aag = ag.dL_da_raw * pa
-          gout_vmem[slot, 8:9, :] = col(aag * aag)
-          gout_vmem[slot, 9:10, :] = col(
-              jnp.abs(aag * d_mx) + jnp.abs(aag * d_my))
+          rows.append(col(aag * aag))
+          rows.append(col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my)))
         else:
           # aag = dL_da_raw * pa and d_m = pdf * q (q linear in tu, tv):
           # aag^2 = pa^2 * dL_da_raw^2 and |aag * d_m| = |B * q|, so the
@@ -272,24 +271,53 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
           tv = dy * axr - dx * ayr
           qx = tu * (isx2 * axr) - tv * (isy2 * ayr)
           qy = tu * (isx2 * ayr) + tv * (isy2 * axr)
-          gout_vmem[slot, 8:9, :] = (pa_r * pa_r) * col(
-              ag.dL_da_raw * ag.dL_da_raw)
-          gout_vmem[slot, 9:10, :] = col(
-              jnp.abs(B * qx) + jnp.abs(B * qy))
-        gout_vmem[slot, 10:16, :] = jnp.zeros((6, g), dtype)
+          rows.append((pa_r * pa_r) * col(ag.dL_da_raw * ag.dL_da_raw))
+          rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
 
-      # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
-      gout_vmem[slot, pt_rows:, :] = jax.lax.dot_general(
+      # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g];
+      # only the F real channels are live (the virtual alpha channel's
+      # pseudo-gradient is never consumed)
+      featg = jax.lax.dot_general(
           grad, w.weight, (((1,), (0,)), ((), ())),
           preferred_element_type=dtype,
           precision=jax.lax.Precision.HIGHEST)               # (F_pad, G)
+      rows.extend(featg[i:i + 1, :] for i in range(f))
 
-      # combine the shared boundary chunk with the previous tile's output
-      # (our masked lanes are zero; its lanes carry the real values)
+      out_rows = gout_vmem.shape[1]
+      if pack_bf16:
+        # pack row pairs as bf16 in one u32: halves the slot-gradient
+        # HBM traffic and the downstream sort's payload columns, and the
+        # unpacked values are exactly bf16 so the segment-sum kernel's
+        # one-hot matmul needs a single (lossless) bf16 pass
+        def b16(x):
+          y = x.astype(jnp.bfloat16).astype(jnp.float32)
+          return jax.lax.bitcast_convert_type(y, jnp.uint32) >> 16
+
+        zrow = jnp.zeros((1, g), dtype)
+        for i in range((len(rows) + 1) // 2):
+          lo = rows[2 * i + 1] if 2 * i + 1 < len(rows) else zrow
+          gout_vmem[slot, i:i + 1, :] = (b16(rows[2 * i]) << 16) | b16(lo)
+        n_written = (len(rows) + 1) // 2
+        pad = jnp.zeros((out_rows - n_written, g), jnp.uint32)
+      else:
+        for i, r_val in enumerate(rows):
+          gout_vmem[slot, i:i + 1, :] = r_val
+        n_written = len(rows)
+        pad = jnp.zeros((out_rows - n_written, g), dtype)
+      if n_written < out_rows:
+        gout_vmem[slot, n_written:, :] = pad
+
+      # combine the shared boundary chunk with the previous tile's
+      # output: lanes before `start` belong to previous tiles (our
+      # masked lanes are exactly zero there, theirs are final values,
+      # so a lane select is exact — and works on packed rows too)
       @pl.when((c == 0) & unaligned)
       def _():
         rmw_in().wait()
-        gout_vmem[slot] = gout_vmem[slot] + rmw_vmem[:, :]
+        prev_lane = (fstart + lane) < start            # (1, G)
+        gout_vmem[slot] = jnp.where(
+            jnp.broadcast_to(prev_lane, gout_vmem[slot].shape),
+            rmw_vmem[:, :], gout_vmem[slot])
 
       chunk_out(c, slot).start()
       return w.t_carry, ag.c_carry
@@ -344,11 +372,12 @@ def _backward_kernel(config: RasterConfig, tile_shape, f_pad: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "compute_point_heuristic"))
+    jax.jit, static_argnames=("config", "f", "compute_point_heuristic"))
 def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
                            grad_padded: jax.Array,       # (T, F_pad, P)
                            e_tiles: jax.Array,           # (T, P, 1)
                            mapping: TileMapping,
+                           f: int = None,
                            config: RasterConfig = None,
                            compute_point_heuristic: bool = False,
                            satchunks: jax.Array = None):
@@ -360,9 +389,9 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
   satchunks (T,) int32 is the forward's per-tile saturation chunk count
   (chunks beyond it are zero-filled, not replayed); None replays all.
 
-  Returns the combined per-slot gradient buffer (R, K_cap) — see the
-  module docstring for the row layout; reduce with the mapping's
-  point-sorted permutation outside.
+  Returns the per-slot gradient buffer: live rows contiguous (see the
+  module docstring), bf16-pair-packed into uint32 rows when the compute
+  dtype is f32. Reduce by point outside (function.py).
   """
   dtype = gathered.dtype
   ts = config.tile_size
@@ -372,7 +401,13 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
   p = ts * ts
   k_cap = mapping.overlap_to_point.shape[0]
   f_pad = gathered.shape[0] - 8
-  rows = grad_rows(f_pad, compute_point_heuristic)
+  if f is None:
+    f = f_pad - 1
+  pack_bf16 = dtype == jnp.float32
+  live = live_grad_rows(f, compute_point_heuristic)
+  stored = (live + 1) // 2 if pack_bf16 else live
+  rows = -(-stored // 8) * 8
+  out_dtype = jnp.uint32 if pack_bf16 else dtype
 
   starts = mapping.tile_ranges[:, 0]
   ends = mapping.tile_ranges[:, 1]
@@ -380,7 +415,8 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
     # replay everything (the kernel clamps to each tile's chunk count)
     satchunks = jnp.full((n_tiles,), jnp.iinfo(jnp.int32).max, jnp.int32)
 
-  kernel = _backward_kernel(config, (th, tw), f_pad, compute_point_heuristic)
+  kernel = _backward_kernel(config, (th, tw), f, compute_point_heuristic,
+                            pack_bf16)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=3,
@@ -395,9 +431,9 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
       out_specs=pl.BlockSpec(memory_space=pl.ANY),
       scratch_shapes=[
           pltpu.VMEM((2, gathered.shape[0], g), dtype),  # double-buffered in
-          pltpu.VMEM((2, rows, g), dtype),               # double-buffered out
-          pltpu.VMEM((rows, g), dtype),                  # zero-fill block
-          pltpu.VMEM((rows, g), dtype),                  # boundary-chunk RMW
+          pltpu.VMEM((2, rows, g), out_dtype),           # double-buffered out
+          pltpu.VMEM((rows, g), out_dtype),              # zero-fill block
+          pltpu.VMEM((rows, g), out_dtype),              # boundary-chunk RMW
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
@@ -408,7 +444,7 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
   gout = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((rows, k_cap), dtype),
+      out_shape=jax.ShapeDtypeStruct((rows, k_cap), out_dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),

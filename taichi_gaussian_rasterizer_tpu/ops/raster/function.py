@@ -28,7 +28,7 @@ import numpy as np
 from ...config import RasterConfig
 from ..mapper import TileMapping, map_to_tiles
 from . import tiles
-from .backward import raster_backward_pallas
+from .backward import live_grad_rows, raster_backward_pallas
 from .forward import gather_combined, rasterize_tiles_pallas, round_up
 from .reduce import segment_sums_by_sorted_key
 
@@ -53,6 +53,12 @@ def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
   dense per-point sums via one-hot matmuls (replacing a K-wide cumsum +
   an (N+1)-wide boundary gather, ~13 ms each at 3M slots). Sentinel
   slots sort past every real slot; point_offsets never reach them."""
+  out = _sort_and_segment(slots, mapping)
+  return out.T                                               # (N, R)
+
+
+def _sort_and_segment(slots: jax.Array, mapping: TileMapping) -> jax.Array:
+  """Sort slot rows by point index and segment-sum them: (R', N)."""
   r = slots.shape[0]
   n = mapping.point_sentinel
   ops = jax.lax.sort(
@@ -67,9 +73,23 @@ def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
         [keys, jnp.full((k_pad - k,), n, jnp.int32)])
     grouped = jnp.concatenate(
         [grouped, jnp.zeros((r, k_pad - k), grouped.dtype)], axis=1)
-  out = segment_sums_by_sorted_key(keys, grouped,
-                                   mapping.point_offsets, n)
-  return out.T                                               # (N, R)
+  return segment_sums_by_sorted_key(keys, grouped,
+                                    mapping.point_offsets, n)
+
+
+def reduce_packed_slots_by_point(packed: jax.Array, mapping: TileMapping,
+                                 live: int) -> jax.Array:
+  """(P_pairs, K_cap) u32 bf16-pair gradient rows -> (N, live) f32 sums.
+
+  The bf16 pair packing (backward.py) halves the sort's payload columns;
+  the segment kernel unpacks losslessly (bf16 values through a single
+  exact MXU pass) and returns high/low half blocks to deinterleave."""
+  r = packed.shape[0]
+  out = _sort_and_segment(packed, mapping)      # (2 * R_pad8, N) f32
+  r_pad = out.shape[0] // 2
+  inter = jnp.stack([out[:r_pad], out[r_pad:]], axis=1)
+  inter = inter.reshape(2 * r_pad, -1)          # rows hi0, lo0, hi1, ...
+  return inter[:live].T                         # (N, live)
 
 
 def _float0_like(tree):
@@ -125,18 +145,18 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
   e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]  # (T,P,1)
 
   gout = raster_backward_pallas(
-      gathered, grad_padded, e_tiles, mapping, config=config,
+      gathered, grad_padded, e_tiles, mapping, f=f, config=config,
       compute_point_heuristic=compute_heuristic, satchunks=satchunks)
 
   # reduce only the live rows (7 point grads [+2 heuristics] + F feature
-  # grads) — padding rows and the alpha pseudo-grad row never leave slot
-  # space, keeping the reduction sort payload count minimal
-  pt_rows = 16 if compute_heuristic else 8
-  sel = [gout[0:7]]
-  if compute_heuristic:
-    sel.append(gout[8:10])
-  sel.append(gout[pt_rows:pt_rows + f])
-  per_point = reduce_slots_by_point(jnp.concatenate(sel, axis=0), mapping)
+  # grads, contiguous); in f32 they arrive packed as bf16 pairs in u32
+  # rows, halving the reduction sort's payload columns
+  live = live_grad_rows(f, compute_heuristic)
+  if gout.dtype == jnp.uint32:
+    per_point = reduce_packed_slots_by_point(
+        gout[:(live + 1) // 2], mapping, live)
+  else:
+    per_point = reduce_slots_by_point(gout[:live], mapping)
 
   grad_points = per_point[:, :7]
   if compute_heuristic:

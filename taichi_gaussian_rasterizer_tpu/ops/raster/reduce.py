@@ -34,7 +34,7 @@ def cdiv(a, b):
   return -(-a // b)
 
 
-def _segment_sum_kernel(r: int, g: int):
+def _segment_sum_kernel(r: int, g: int, packed: bool = False):
   def kernel(block_off_ref,                  # scalar prefetch (W+1,)
              keys_hbm, vals_hbm,             # (1, K) i32, (R, K)
              out_ref,                        # (R, 128) block of (R, W*128)
@@ -93,22 +93,33 @@ def _segment_sum_kernel(r: int, g: int):
       # needed (Mosaic cannot legalize tpu.transpose on these shapes);
       # the dot then contracts lane-vs-lane (A @ B^T form)
       onehot = ((col2 == local) & mask).astype(dtype)      # (128, G)
-      # masked lanes can hold uninitialized slots (past total_overlaps);
-      # a 0 * NaN in the matmul would poison the sums — select, don't mask
-      vals = jnp.where(jnp.broadcast_to(mask, vals.shape), vals, 0)
 
       def dot(v, precision=None):
         return jax.lax.dot_general(
             v, onehot, (((1,), (1,)), ((), ())),
             preferred_element_type=dtype, precision=precision)
 
+      def select(v):
+        # masked lanes can hold uninitialized slots (past total_overlaps);
+        # a 0 * NaN in the matmul would poison the sums — select, not mask
+        return jnp.where(jnp.broadcast_to(mask, v.shape), v, 0)
+
+      if packed:
+        # bf16 pairs in u32 rows (backward.py): both halves are exactly
+        # bf16, so a single DEFAULT-precision MXU pass is lossless
+        hi_v = select(jax.lax.bitcast_convert_type(
+            vals & jnp.uint32(0xFFFF0000), jnp.float32))
+        lo_v = select(jax.lax.bitcast_convert_type(
+            vals << 16, jnp.float32))
+        return acc + jnp.concatenate([dot(hi_v), dot(lo_v)], axis=0)
+      vals = select(vals)
       if dtype == jnp.float32:
         hi_v = vals.astype(jnp.bfloat16).astype(dtype)
         return acc + dot(hi_v) + dot(vals - hi_v)
       return acc + dot(vals, jax.lax.Precision.HIGHEST)
 
     out_ref[...] = jax.lax.fori_loop(
-        0, nch, body, jnp.zeros((r, g), dtype))
+        0, nch, body, jnp.zeros(((2 * r) if packed else r, g), dtype))
 
   return kernel
 
@@ -122,12 +133,18 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
   values: (R, K) same order; offsets: (N+1,) positions of each point's
   segment start (mapper point_offsets); n: number of points (static).
   Returns (R, N): column i = sum of values whose key == i.
+
+  uint32 values are treated as bf16 pairs (backward.py packing): the
+  result is then (2 * R_pad8, N) float32 with the pair's high halves in
+  rows [0, R_pad8) and the low halves in rows [R_pad8, 2 * R_pad8).
   """
   r, k = values.shape
   g = 128
   assert k % g == 0, f"slot stream length {k} must be a multiple of {g}"
+  packed = values.dtype == jnp.uint32
+  out_dtype = jnp.float32 if packed else values.dtype
   if n == 0:
-    return jnp.zeros((r, 0), values.dtype)
+    return jnp.zeros((r, 0), out_dtype)
   w = cdiv(n, g)
 
   # Mosaic HBM slices must be 8-aligned along sublanes: pad the row count
@@ -146,7 +163,8 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
           pl.BlockSpec(memory_space=pl.ANY),
           pl.BlockSpec(memory_space=pl.ANY),
       ],
-      out_specs=pl.BlockSpec((r_pad, g), lambda i, *_: (0, i)),
+      out_specs=pl.BlockSpec((2 * r_pad if packed else r_pad, g),
+                             lambda i, *_: (0, i)),
       scratch_shapes=[
           pltpu.VMEM((2, 1, g), jnp.int32),
           pltpu.VMEM((2, r_pad, g), values.dtype),
@@ -156,12 +174,13 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
   )
 
   out = pl.pallas_call(
-      _segment_sum_kernel(r_pad, g),
+      _segment_sum_kernel(r_pad, g, packed=packed),
       grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((r_pad, w * g), values.dtype),
+      out_shape=jax.ShapeDtypeStruct(
+          (2 * r_pad if packed else r_pad, w * g), out_dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
   )(block_off, keys.reshape(1, k), values)
 
-  return out[:r, :n]
+  return out[:, :n] if packed else out[:r, :n]

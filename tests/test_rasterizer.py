@@ -240,3 +240,30 @@ def test_backward_saturation_skip_exact():
   for gp, gx in zip(g_pallas, g_xla):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_f32_packed_gradients_close_to_xla():
+  """In f32 the backward packs slot-gradient rows as bf16 pairs
+  (transport quantization); per-point sums must match the XLA autodiff
+  gradients to bf16-level relative tolerance."""
+  image_size = (64, 48)
+  config = RasterConfig(tile_size=8, points_per_chunk=8)
+  points, depth, feats = scene(0, 80, image_size)
+  points = points.astype(jnp.float32)
+  depth = depth.astype(jnp.float32)
+  feats = feats.astype(jnp.float32)
+  mapping = map_to_tiles(points, depth, image_size, config)
+  g_img = jax.random.normal(jax.random.PRNGKey(7), (48, 64, 3), jnp.float32)
+
+  def loss(pts, f, impl):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                               impl=impl, max_points_per_tile=128)
+    return jnp.sum(out.image * g_img)
+
+  gp_p, gf_p = jax.grad(lambda p, f: loss(p, f, "pallas"),
+                        argnums=(0, 1))(points, feats)
+  gp_x, gf_x = jax.grad(lambda p, f: loss(p, f, "xla"),
+                        argnums=(0, 1))(points, feats)
+  rel = lambda a, b: float(jnp.abs(a - b).max() / jnp.abs(b).max())
+  assert rel(gp_p, gp_x) < 2e-2, rel(gp_p, gp_x)
+  assert rel(gf_p, gf_x) < 2e-2, rel(gf_p, gf_x)

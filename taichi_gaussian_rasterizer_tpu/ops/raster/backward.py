@@ -179,10 +179,11 @@ def _backward_kernel(config: RasterConfig, tile_shape, f: int,
 
       # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
       # via the ones row at F; padding rows are zero on both sides)
-      D = jax.lax.dot_general(
-          grad, feats, (((0,), (0,)), ((), ())),
-          preferred_element_type=dtype,
-          precision=jax.lax.Precision.HIGHEST)               # (P, G)
+      # gradient-grade precision: the slot gradients are bf16-packed on
+      # output anyway, so 2-pass splits (exact to ~2^-17 when one side is
+      # bf16-exact, ~2^-9 otherwise) are at worst transport-level noise
+      D = blend.dot_split(
+          grad, feats, (((0,), (0,)), ((), ())), passes=3)   # (P, G)
 
       ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
 
@@ -208,10 +209,8 @@ def _backward_kernel(config: RasterConfig, tile_shape, f: int,
         # d = pixel - mean): col(B*dx) etc. expand via dx = px - mean_x
         # into the moments.
         B = ag.dL_da_raw * a_raw                      # (P, G)
-        mom = jax.lax.dot_general(
-            mmat, B, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-          precision=jax.lax.Precision.HIGHEST)             # (6, G)
+        mom = blend.dot_split(
+            mmat, B, (((1,), (0,)), ((), ())), passes=3)     # (6, G)
         m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
         mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
 
@@ -277,10 +276,8 @@ def _backward_kernel(config: RasterConfig, tile_shape, f: int,
       # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g];
       # only the F real channels are live (the virtual alpha channel's
       # pseudo-gradient is never consumed)
-      featg = jax.lax.dot_general(
-          grad, w.weight, (((1,), (0,)), ((), ())),
-          preferred_element_type=dtype,
-          precision=jax.lax.Precision.HIGHEST)               # (F_pad, G)
+      featg = blend.dot_split(
+          grad, w.weight, (((1,), (0,)), ((), ())), passes=3)  # (F_pad, G)
       rows.extend(featg[i:i + 1, :] for i in range(f))
 
       out_rows = gout_vmem.shape[1]

@@ -207,11 +207,41 @@ def quad_coeffs(pts, origin=(0.0, 0.0), mask=None):
 
 
 def chunk_log_alpha(basis, coeffs):
-  """(P, 8) pixel basis x (8, G) coefficients -> (P, G) log(pa * pdf)."""
-  return jax.lax.dot_general(
-      basis, coeffs, (((1,), (0,)), ((), ())),
-      preferred_element_type=basis.dtype,
-      precision=jax.lax.Precision.HIGHEST)
+  """(P, 8) pixel basis x (8, G) coefficients -> (P, G) log(pa * pdf).
+  3-pass split: ~f32-accurate at half of HIGHEST's MXU cost."""
+  return dot_split(basis, coeffs, (((1,), (0,)), ((), ())), passes=3)
+
+
+def dot_split(a, b, dims, passes: int = 3, preferred=None):
+  """dot_general with explicit bf16-operand pass splitting.
+
+  Mosaic's DEFAULT precision for f32 operands is backend-defined (often
+  multi-pass) and HIGHEST is 6 passes; casting operands to bf16
+  explicitly buys exact control of true MXU passes:
+    passes=1: bf16(a) x bf16(b)            (~2^-9 relative)
+    passes=2: [hi(a) + lo(a)] x bf16(b)    (exact if b is bf16-exact)
+    passes=3: hi*hi + hi*lo + lo*hi        (~f32-accurate, half of HIGHEST)
+  f64 falls back to a HIGHEST dot (CPU/interpret test path).
+  """
+  if a.dtype != jnp.float32:
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=a.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+  out = preferred or jnp.float32
+
+  def d(x, y):
+    return jax.lax.dot_general(x.astype(jnp.bfloat16),
+                               y.astype(jnp.bfloat16),
+                               dims, preferred_element_type=out)
+
+  if passes == 1:
+    return d(a, b)
+  a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+  a_lo = a - a_hi
+  if passes == 2:
+    return d(a_hi, b) + d(a_lo, b)
+  b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+  b_lo = b - b_hi
+  return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def exclusive_cumsum_lanes(x):
@@ -221,25 +251,17 @@ def exclusive_cumsum_lanes(x):
   These two matmuls per chunk (transmittance here, the running wd sum in
   the backward) are the dominant MXU work in both raster kernels:
   (P, G) x (G, G) dwarfs the (P, 8) coefficient and (F, G) feature
-  products. For f32 a manual two-pass bf16 hi/lo split is used instead
-  of Precision.HIGHEST (6 MXU passes; Mosaic has no HIGH): the
-  triangular operand is exact in bf16 and the accumulator is f32, so
-  splitting only the value operand leaves ~2^-17 relative error per term
-  at 1/3 the MXU cost."""
+  products. For f32 they run as two explicit bf16 passes (dot_split
+  passes=2): the triangular operand is exact in bf16 and the accumulator
+  is f32, so splitting only the value operand leaves ~2^-17 relative
+  error per term at a third of HIGHEST's 6-pass cost. Chunk carries
+  (blend.chunk_weights) are exact VPU reductions, so any within-chunk
+  rounding never accumulates across the bin."""
   g = x.shape[1]
   row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
   col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
   tri = (row < col).astype(x.dtype)
-
-  def dot(v, precision):
-    return jax.lax.dot_general(v, tri, (((1,), (0,)), ((), ())),
-                               preferred_element_type=x.dtype,
-                               precision=precision)
-
-  if x.dtype != jnp.float32:
-    return dot(x, jax.lax.Precision.HIGHEST)
-  hi = x.astype(jnp.bfloat16).astype(x.dtype)
-  return dot(hi, None) + dot(x - hi, None)
+  return dot_split(x, tri, (((1,), (0,)), ((), ())), passes=2)
 
 
 class ChunkWeights(NamedTuple):

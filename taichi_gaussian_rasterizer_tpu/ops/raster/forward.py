@@ -201,19 +201,16 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
         w = blend.chunk_weights_raw(a_raw, t_carry, config,
                                     blending=blending)
 
-      img = jax.lax.dot_general(
-          feats, w.weight, (((1,), (1,)), ((), ())),
-          preferred_element_type=dtype,
-          precision=jax.lax.Precision.HIGHEST)          # (F_pad, P)
+      img = blend.dot_split(
+          feats, w.weight, (((1,), (1,)), ((), ())), passes=3)  # (F_pad, P)
 
       if blending:
         # the ones-channel at row F yields the alpha image for free
         img_ref[0] += img[:feature_size + 1, :]
       else:
-        alpha_row = jax.lax.dot_general(
-            ones_row, w.a_eff * w.t_excl, (((1,), (1,)), ((), ())),
-            preferred_element_type=dtype,
-          precision=jax.lax.Precision.HIGHEST)        # (1, P)
+        alpha_row = blend.dot_split(
+            ones_row, w.a_eff * w.t_excl,
+            (((1,), (1,)), ((), ())), passes=3)         # (1, P)
         img_ref[0, :feature_size, :] += img[:feature_size, :]
         img_ref[0, feature_size:, :] += alpha_row
 

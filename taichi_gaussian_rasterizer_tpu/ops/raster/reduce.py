@@ -94,7 +94,16 @@ def _segment_sum_kernel(r: int, g: int, packed: bool = False):
       # the dot then contracts lane-vs-lane (A @ B^T form)
       onehot = ((col2 == local) & mask).astype(dtype)      # (128, G)
 
+      onehot_bf = (onehot.astype(jnp.bfloat16)
+                   if dtype == jnp.float32 else onehot)
+
       def dot(v, precision=None):
+        # explicit bf16 operands = one true MXU pass (exact: the one-hot
+        # is 0/1 and v is bf16-exact at every call site below)
+        if dtype == jnp.float32:
+          return jax.lax.dot_general(
+              v.astype(jnp.bfloat16), onehot_bf, (((1,), (1,)), ((), ())),
+              preferred_element_type=jnp.float32)
         return jax.lax.dot_general(
             v, onehot, (((1,), (1,)), ((), ())),
             preferred_element_type=dtype, precision=precision)

@@ -121,43 +121,111 @@ def project_points(
     in_view: (N,) bool visibility mask (replaces the reference's compacted
       `indexes`)
   """
+  # Whole pipeline on flat 1-D component columns (cf. mapper._footprint):
+  # the (N, 2)/(N, 3) stacked intermediates the generic lib builds run at
+  # 2-3 of 128 vreg lanes; columns pack lanes fully. The math is
+  # identical to lib.project_gaussian + lib.eig, reassociated per
+  # component; only the final (N, 7) pack is a narrow write.
   dtype = position.dtype
-  cam = T_camera_world[:3, :].astype(dtype)
-  proj = projection.astype(dtype)
-  size = jnp.asarray(image_size, dtype=dtype)
+  T = T_camera_world.astype(dtype)
+  fx, fy, cx, cy = (projection.astype(dtype)[i] for i in range(4))
+  w_size, h_size = image_size
 
-  rot = lib.safe_normalize(rotation)
-  scale = jnp.exp(log_scaling)
+  pxw = position[:, 0]
+  pyw = position[:, 1]
+  pzw = position[:, 2]
 
-  mean, z, cov = lib.project_gaussian(
-      cam, proj, size, position, rot, scale, clamp_margin)
+  # normalized quaternion -> rotation matrix components (generic.py:407)
+  qx, qy, qz, qw = (rotation[:, i] for i in range(4))
+  qn = jnp.sqrt(jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw, 1e-32))
+  qx, qy, qz, qw = qx / qn, qy / qn, qz / qn, qw / qn
+  xx, yy, zz = qx * qx, qy * qy, qz * qz
+  R = ((1 - 2 * yy - 2 * zz, 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)),
+       (2 * (qx * qy + qw * qz), 1 - 2 * xx - 2 * zz, 2 * (qy * qz - qw * qx)),
+       (2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * xx - 2 * yy))
+  s0 = jnp.exp(log_scaling[:, 0])
+  s1 = jnp.exp(log_scaling[:, 1])
+  s2 = jnp.exp(log_scaling[:, 2])
 
-  if blur_cov > 0:
-    cov = cov + jnp.asarray([blur_cov, 0.0, blur_cov], dtype=dtype)
+  # camera transform + pinhole projection (generic.py:95-121)
+  in_cam = [pxw * T[i, 0] + pyw * T[i, 1] + pzw * T[i, 2] + T[i, 3]
+            for i in range(3)]
+  z = in_cam[2]
+  inv_z = 1.0 / z
+  mx = fx * in_cam[0] * inv_z + cx
+  my = fy * in_cam[1] * inv_z + cy
 
-  sigma, v1, _ = lib.eig(cov)
+  # position-clamped affine Jacobian rows (generic.py:109-118):
+  # J = [[fx/z, 0, -(tx-cx)/z], [0, fy/z, -(ty-cy)/z]]
+  tx = jnp.clip(mx, -w_size * clamp_margin,
+                (w_size - 1) * (1 + clamp_margin))
+  ty = jnp.clip(my, -h_size * clamp_margin,
+                (h_size - 1) * (1 + clamp_margin))
+  j00 = fx * inv_z
+  j11 = fy * inv_z
+  j02 = -(tx - cx) * inv_z
+  j12 = -(ty - cy) * inv_z
 
-  alpha = lib.sigmoid(alpha_logit[..., 0])
+  # EWA: m = J W (R S); cov = m m^T upper-tri (generic.py:125-143)
+  jw0 = [j00 * T[0, k] + j02 * T[2, k] for k in range(3)]
+  jw1 = [j11 * T[1, k] + j12 * T[2, k] for k in range(3)]
+  s = (s0, s1, s2)
+  m0 = [(jw0[0] * R[0][l] + jw0[1] * R[1][l] + jw0[2] * R[2][l]) * s[l]
+        for l in range(3)]
+  m1 = [(jw1[0] * R[0][l] + jw1[1] * R[1][l] + jw1[2] * R[2][l]) * s[l]
+        for l in range(3)]
+  cov_a = m0[0] * m0[0] + m0[1] * m0[1] + m0[2] * m0[2] + blur_cov
+  cov_b = m0[0] * m1[0] + m0[1] * m1[1] + m0[2] * m1[2]
+  cov_c = m1[0] * m1[0] + m1[1] * m1[1] + m1[2] * m1[2] + blur_cov
+
+  # closed-form 2x2 symmetric eigendecomposition (lib.eig, columnized)
+  tr = cov_a + cov_c
+  det = cov_a * cov_c - cov_b * cov_b
+  gap_floor = 1e-12 * tr * tr + 1e-36
+  sqrt_gap = jnp.sqrt(jnp.maximum(tr * tr - 4 * det, gap_floor))
+  lam1 = (tr + sqrt_gap) * 0.5
+  lam2 = (tr - sqrt_gap) * 0.5
+  c1x, c1y = cov_a - lam2, cov_b                  # candidate eigenvectors
+  c2x, c2y = cov_b, cov_c - lam2
+  n1 = c1x * c1x + c1y * c1y
+  n2 = c2x * c2x + c2y * c2y
+  pick1 = n1 >= n2
+  vx = jnp.where(pick1, c1x, c2x)
+  vy = jnp.where(pick1, c1y, c2y)
+  iso = (n1 + n2) < 1e-30
+  vx = jnp.where(iso, 1.0, vx)
+  vy = jnp.where(iso, 0.0, vy)
+  vn = jnp.sqrt(jnp.maximum(vx * vx + vy * vy, 1e-32))
+  ax = vx / vn
+  ay = vy / vn
+  sig1 = jnp.sqrt(jnp.maximum(lam1, 0.0))
+  sig2 = jnp.sqrt(jnp.maximum(lam2, 0.0))
+
+  alpha = lib.sigmoid(alpha_logit[:, 0])
 
   # The cull decision is non-differentiable; stop_gradient keeps nan-prone
   # paths (sqrt at 0 in the adaptive cutoff) out of the backward graph.
   sg = jax.lax.stop_gradient
-  mean_c, v1_c, sigma_c, alpha_c, z_c = map(sg, (mean, v1, sigma, alpha, z))
-  gaussian_scale = lib.gaussian_scale_factor(alpha_c, alpha_threshold)
-
-  radii = sigma_c * gaussian_scale[..., None]
-  lower, upper = lib.ellipse_bounds(
-      mean_c, v1_c * radii[..., 0:1], lib.perp(v1_c) * radii[..., 1:2])
+  alpha_c = sg(alpha)
+  gs = lib.gaussian_scale_factor(alpha_c, alpha_threshold)
+  r0 = sg(sig1) * gs
+  r1 = sg(sig2) * gs
+  ax_c, ay_c = sg(ax), sg(ay)
+  ext_x = jnp.sqrt((ax_c * r0) ** 2 + (ay_c * r1) ** 2)
+  ext_y = jnp.sqrt((ay_c * r0) ** 2 + (ax_c * r1) ** 2)
+  mx_c, my_c, z_c = sg(mx), sg(my), sg(z)
 
   near, far = depth_range
   in_view = ((z_c > near) & (z_c < far)
-             & jnp.all(upper > 0, axis=-1)
-             & jnp.all(lower < size, axis=-1)
+             & (mx_c + ext_x > 0) & (my_c + ext_y > 0)
+             & (mx_c - ext_x < w_size) & (my_c - ext_y < h_size)
              & (alpha_c > alpha_threshold))
 
-  keep = in_view[..., None]
-  points = lib.pack_g2d(mean, v1, sigma, alpha) * keep
-  depth = jnp.where(keep, z[..., None], 0.0)
+  keepf = in_view.astype(dtype)
+  points = jnp.stack(
+      [mx * keepf, my * keepf, ax * keepf, ay * keepf,
+       sig1 * keepf, sig2 * keepf, alpha * keepf], axis=-1)
+  depth = (z * keepf)[:, None]
   return points, depth, in_view
 
 

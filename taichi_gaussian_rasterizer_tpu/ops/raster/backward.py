@@ -175,7 +175,8 @@ def _backward_kernel(config: RasterConfig, tile_shape, f: int,
         # lanes get exactly-zero alpha, hence zero gate and gradients
         coeffs = blend.quad_coeffs(pts, origin=origin, mask=mask)
         a_raw = jnp.exp(blend.chunk_log_alpha(basis, coeffs))
-        w = blend.chunk_weights_raw(a_raw, t_carry, config, blending=True)
+        w = blend.chunk_weights_raw(a_raw, t_carry, config, blending=True,
+                                    cumsum_passes=1)
 
       # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
       # via the ones row at F; padding rows are zero on both sides)

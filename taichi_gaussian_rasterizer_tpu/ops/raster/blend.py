@@ -244,7 +244,7 @@ def dot_split(a, b, dims, passes: int = 3, preferred=None):
   return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
-def exclusive_cumsum_lanes(x):
+def exclusive_cumsum_lanes(x, passes: int = 2):
   """Exclusive cumsum along the point (lane) axis via strictly-upper-
   triangular matmul: out[:, g] = sum_{k<g} x[:, k]. (P, G) -> (P, G).
 
@@ -261,7 +261,7 @@ def exclusive_cumsum_lanes(x):
   row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
   col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
   tri = (row < col).astype(x.dtype)
-  return dot_split(x, tri, (((1,), (0,)), ((), ())), passes=2)
+  return dot_split(x, tri, (((1,), (0,)), ((), ())), passes=passes)
 
 
 class ChunkWeights(NamedTuple):
@@ -285,10 +285,16 @@ def chunk_weights(pdf, point_alpha, t_carry, config: RasterConfig,
 
 
 def chunk_weights_raw(a_raw, t_carry, config: RasterConfig,
-                      blending: bool = True) -> ChunkWeights:
+                      blending: bool = True,
+                      cumsum_passes: int = 2) -> ChunkWeights:
   """chunk_weights from the pre-gate alpha field a_raw = point_alpha *
   pdf (P, G) directly — the coefficient-matmul kernels compute a_raw as
-  exp(chunk_log_alpha(...)) without materializing the pdf."""
+  exp(chunk_log_alpha(...)) without materializing the pdf.
+
+  cumsum_passes=1 halves the transmittance matmul's MXU cost at ~2^-9
+  within-chunk relative error (the t carry is an exact VPU sum either
+  way, so error never crosses chunk boundaries) — gradient-grade; the
+  forward keeps 2 passes for the image."""
   dtype = a_raw.dtype
   clamp_ok = a_raw < config.clamp_max_alpha
   a_clamped = jnp.minimum(a_raw, jnp.asarray(config.clamp_max_alpha, dtype))
@@ -296,7 +302,7 @@ def chunk_weights_raw(a_raw, t_carry, config: RasterConfig,
   a_eff = jnp.where(thresh_ok, a_clamped, 0)
 
   log1m = jnp.log1p(-a_eff)
-  t_excl = t_carry * jnp.exp(exclusive_cumsum_lanes(log1m))
+  t_excl = t_carry * jnp.exp(exclusive_cumsum_lanes(log1m, cumsum_passes))
   t_carry_new = t_carry * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
 
   total_before = 1 - t_excl
@@ -329,7 +335,9 @@ def chunk_alpha_grads(w: ChunkWeights, D, E, c_carry) -> ChunkGrads:
   dL/dpoint_alpha = dL_da_raw * pdf.
   """
   wd = w.weight * D
-  c_incl = c_carry + exclusive_cumsum_lanes(wd) + wd
+  # backward-only: 1 bf16 pass (the c carry below is an exact VPU sum,
+  # so the ~2^-9 within-chunk error is gradient-grade transport noise)
+  c_incl = c_carry + exclusive_cumsum_lanes(wd, passes=1) + wd
   dL_da = w.gate * (w.t_excl * D - (E - c_incl) / (1 - w.a_eff))
   c_carry_new = c_carry + jnp.sum(wd, axis=1, keepdims=True)
   return ChunkGrads(dL_da, c_carry_new)

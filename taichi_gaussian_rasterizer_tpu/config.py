@@ -62,10 +62,13 @@ class RasterConfig:
   points_per_chunk: int = 128
   # break the forward chunk loop once every pixel saturates. The
   # reference's blending forward never actually exits early
-  # (forward.py:107-114 only sets `saturated` in non-blending mode), and
-  # the data-dependent loop condition costs more than it saves on TPU
-  # for typical occupancies, so this is off by default.
-  saturation_early_exit: bool = False
+  # (forward.py:107-114 only sets `saturated` in non-blending mode).
+  # The TPU kernel keeps the pipelined chunk loop and branches out only
+  # the blend compute once every pixel saturates (exact by the gates;
+  # measured 62 -> 52 ms forward on a 74%-saturated scene, no measurable
+  # cost when nothing saturates). Disabled automatically when per-slot
+  # visibility must be written (compute_visibility).
+  saturation_early_exit: bool = True
 
   def replace(self, **kwargs) -> "RasterConfig":
     return replace(self, **kwargs)

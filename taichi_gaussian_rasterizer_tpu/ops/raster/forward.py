@@ -135,7 +135,7 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
   def kernel(starts_ref, ends_ref,               # scalar prefetch (SMEM)
              comb_hbm,                           # input (ANY/HBM)
              img_ref, vis_hbm, satchunk_ref,     # outputs
-             comb_vmem, vis_vmem, vis_rmw,       # scratch
+             comb_vmem, vis_vmem, vis_rmw, t_vmem,    # scratch
              sem_c, sem_v, sem_vr):
     t = pl.program_id(0)
     dtype = img_ref.dtype
@@ -172,11 +172,10 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
-    if not early_exit:
-      # warmup prefetch (balanced: every started DMA is waited in body)
-      @pl.when(nch > 0)
-      def _():
-        chunk_dma(0, 0).start()
+    # warmup prefetch (balanced: every started DMA is waited in a body)
+    @pl.when(nch > 0)
+    def _():
+      chunk_dma(0, 0).start()
 
     def lane_mask(c):
       # lanes of this chunk outside [start, end) are zero-alpha'd: foreign
@@ -249,15 +248,6 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
       return compute_chunk(c, t_carry,
                            comb_vmem[slot, 0:8, :], comb_vmem[slot, 8:, :])
 
-    def body_seq(c, t_carry):
-      # sequential (early-exit mode: a speculative prefetch could dangle
-      # past the data-dependent loop end)
-      dma = chunk_dma(c, 0)
-      dma.start()
-      dma.wait()
-      return compute_chunk(c, t_carry,
-                           comb_vmem[0, 0:8, :], comb_vmem[0, 8:, :])
-
     # satchunk_ref[t] = number of chunks the backward must replay: chunks
     # past the first one where every pixel saturates have exactly-zero
     # gated weights and gradients (blend.chunk_weights), so the backward
@@ -265,14 +255,37 @@ def _forward_kernel(config: RasterConfig, tile_shape, feature_size: int,
     # /root/reference/taichi_splatting/rasterizer/backward.py:121-148).
     t0 = jnp.ones((p, 1), dtype)
     if early_exit:
-      def cond(carry):
-        c, t_carry = carry
-        return (c < nch) & (jnp.max(t_carry) > 1 - stop_total)
+      # saturation skip that keeps the fori pipeline: a data-dependent
+      # while_loop serializes every iteration on the scalar saturation
+      # reduce (measured SLOWER than no exit at all, even at 74%
+      # saturated chunks — 66.6 vs 63.4 ms), so instead the loop always
+      # runs and DMAs (8 KB/chunk, bandwidth noise) but branches out the
+      # blend compute once saturated — the (P, G) field math is ~all of
+      # the per-chunk cost.
+      # the transmittance carry lives in VMEM scratch so the whole blend
+      # compute (which also mutates img_ref) can sit under pl.when
+      t_vmem[...] = t0
 
-      final_c, _ = jax.lax.while_loop(
-          cond, lambda cr: (cr[0] + 1, body_seq(cr[0], cr[1])),
-          (jnp.int32(0), t0))
-      satchunk_ref[t] = final_c
+      def body_skip(c, sat):
+        slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+        @pl.when(c + 1 < nch)
+        def _():
+          chunk_dma(c + 1, 1 - slot).start()
+
+        chunk_dma(c, slot).wait()
+
+        @pl.when(sat == nch)
+        def _():
+          t_vmem[...] = compute_chunk(c, t_vmem[...],
+                                      comb_vmem[slot, 0:8, :],
+                                      comb_vmem[slot, 8:, :])
+
+        saturated = jnp.max(t_vmem[...]) <= 1 - stop_total
+        return jnp.where((sat == nch) & saturated, c + 1, sat)
+
+      sat = jax.lax.fori_loop(0, nch, body_skip, nch)
+      satchunk_ref[t] = sat
     else:
       def body_sat(c, carry):
         t_carry, sat = carry
@@ -330,6 +343,7 @@ def rasterize_tiles_pallas(points: jax.Array, features: jax.Array,
           pltpu.VMEM((2, 8 + f_pad, g), dtype),   # double-buffered chunks
           pltpu.VMEM((1, g), dtype),
           pltpu.VMEM((1, g), dtype),              # boundary-chunk RMW
+          pltpu.VMEM((p, 1), dtype),              # early-exit t carry
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA,
           pltpu.SemaphoreType.DMA,

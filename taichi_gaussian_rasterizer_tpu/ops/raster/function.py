@@ -140,9 +140,8 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
   g_tiled = g_tiled.astype(dtype)
   grad_padded = jnp.concatenate(
       [g_tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
-  img_padded = jnp.concatenate(
-      [tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
-  e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]  # (T,P,1)
+  # padding channels are zero on both sides: E needs only the real rows
+  e_tiles = jnp.sum(tiled * g_tiled, axis=1)[..., None]           # (T,P,1)
 
   gout = raster_backward_pallas(
       gathered, grad_padded, e_tiles, mapping, f=f, config=config,

@@ -267,3 +267,25 @@ def test_f32_packed_gradients_close_to_xla():
   rel = lambda a, b: float(jnp.abs(a - b).max() / jnp.abs(b).max())
   assert rel(gp_p, gp_x) < 2e-2, rel(gp_p, gp_x)
   assert rel(gf_p, gf_x) < 2e-2, rel(gf_p, gf_x)
+
+
+def test_saturation_early_exit_exact():
+  """The forward's saturation compute-skip must be EXACT: skipped chunks
+  have zero gated weights, so images and satchunk counts match the
+  no-exit path bit-for-bit on a heavily saturating scene."""
+  image_size = (32, 24)
+  points, depth, feats = scene(5, 120, image_size)
+  # opaque gaussians so transmittance collapses within a few chunks
+  points = points.at[:, 6].set(0.95)
+
+  outs = {}
+  for ee in (False, True):
+    config = RasterConfig(tile_size=8, points_per_chunk=8,
+                          saturation_early_exit=ee)
+    mapping = map_to_tiles(points, depth, image_size, config)
+    outs[ee] = rasterize_with_tiles(points, feats, mapping, image_size,
+                                    config)
+  np.testing.assert_array_equal(np.asarray(outs[False].image),
+                                np.asarray(outs[True].image))
+  np.testing.assert_array_equal(np.asarray(outs[False].image_weight),
+                                np.asarray(outs[True].image_weight))

@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from taichi_gaussian_rasterizer_tpu.utils import runtime
+
+runtime.init()  # persistent compile cache: later runs compile in seconds
+
 BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
 
 

@@ -66,9 +66,16 @@ class RasterConfig:
   # The TPU kernel keeps the pipelined chunk loop and branches out only
   # the blend compute once every pixel saturates (exact by the gates;
   # measured 62 -> 52 ms forward on a 74%-saturated scene, no measurable
-  # cost when nothing saturates). Disabled automatically when per-slot
-  # visibility must be written (compute_visibility).
+  # cost when nothing saturates). Composes with compute_visibility:
+  # skipped chunks contribute exactly-zero visibility by the same gates.
   saturation_early_exit: bool = True
+
+  # In f32 the backward packs per-slot gradient rows pairwise as bf16
+  # halves of one u32 (transport-grade: ~2^-9 relative per slot
+  # contribution, summed per point in f32), halving the gradient sort's
+  # payload columns. Set True to keep full-f32 slot gradients when
+  # diagnosing convergence issues (f64 paths are always exact).
+  exact_slot_gradients: bool = False
 
   def replace(self, **kwargs) -> "RasterConfig":
     return replace(self, **kwargs)

@@ -138,7 +138,17 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      heuristic_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
-  """Rasterize already-projected gaussians (reference renderer.py:183-231)."""
+  """Rasterize already-projected gaussians (reference renderer.py:183-231).
+
+  `point_heuristic` in the returned record is always None here: in the
+  functional design the heuristics (prune cost, split score — reference
+  backward.py:194-198) are the COTANGENT of `heuristic_sink`, produced by
+  differentiation rather than by mutation during backward. Either call
+  `render_with_heuristics(loss_fn, ...)` (which wires this up and returns
+  a populated record), or pass a zero (N, 2) `heuristic_sink` and take
+  `jax.grad` of your loss w.r.t. it — that gradient IS (prune_cost,
+  split_score).
+  """
   ndc_depths = lib.ndc_depth(
       jnp.maximum(depths, camera_params.near_plane),
       camera_params.near_plane, camera_params.far_plane)

@@ -112,6 +112,7 @@ class TileMapping:
   [point_offsets[i], point_offsets[i+1]) and sentinel slots at the end.
   """
   overlap_to_point: jax.Array  # (K_cap,) int32, point index or N (sentinel)
+  overlap_to_tile: jax.Array   # (K_cap,) int32, tile index or TH*TW (sentinel)
   tile_ranges: jax.Array       # (TH*TW, 2) int32 [start, end) per tile
   tile_shape: Tuple[int, int]  # (TH, TW) -- static
   total_overlaps: jax.Array    # () int32 number of real (point, tile) pairs
@@ -129,8 +130,8 @@ class TileMapping:
 
 jax.tree_util.register_dataclass(
     TileMapping,
-    data_fields=["overlap_to_point", "tile_ranges", "total_overlaps",
-                 "overflow", "point_offsets"],
+    data_fields=["overlap_to_point", "overlap_to_tile", "tile_ranges",
+                 "total_overlaps", "overflow", "point_offsets"],
     meta_fields=["tile_shape", "point_sentinel"])
 
 
@@ -254,6 +255,18 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   n_tiles = tw * th
   assert n_tiles < 65536, (
       f"tile grid {th}x{tw} exceeds 16-bit tile ids; increase tile_size")
+  if use_depth16:
+    # depth16 packs tile ids into the high u32 halfword with 0xFFFF as
+    # the reject sentinel — real tiles must not alias it
+    assert n_tiles < 0xFFFF, (
+        f"tile grid {th}x{tw} aliases the depth16 sentinel tile id; use "
+        "use_depth16=False or a larger tile_size")
+  # emission's float-reciprocal integer division floor((j+0.5)*recip) is
+  # exact only while (j+0.5)*span_x stays well under f32's 2^23 integer
+  # grid (see emit() below); ties the static budget table to the config
+  assert (_BUDGETS[-1] + 0.5) * config.max_tile_span < 2 ** 22, (
+      f"max_tile_span {config.max_tile_span} too large for the "
+      f"float-division emission trick at budget {_BUDGETS[-1]}")
   if capacity is None:
     capacity = default_capacity(n, image_size, tile_size)
 
@@ -419,9 +432,13 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   c_len = cand_pos.shape[0]
   if c_len >= k_cap:
     overlap_to_point = cand_pos[:k_cap]
+    overlap_to_tile = jnp.minimum(sorted_tiles[:k_cap], n_tiles)
   else:
     overlap_to_point = jnp.concatenate(
         [cand_pos, jnp.full((k_cap - c_len,), n, jnp.int32)])
+    overlap_to_tile = jnp.concatenate(
+        [jnp.minimum(sorted_tiles, n_tiles),
+         jnp.full((k_cap - c_len,), n_tiles, jnp.int32)])
 
   tile_ranges = jnp.stack(
       [jnp.minimum(starts, k_cap), jnp.minimum(ends, k_cap)], axis=1)
@@ -441,6 +458,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
 
   return TileMapping(
       overlap_to_point=overlap_to_point,
+      overlap_to_tile=overlap_to_tile,
       tile_ranges=tile_ranges,
       tile_shape=(th, tw),
       total_overlaps=total,

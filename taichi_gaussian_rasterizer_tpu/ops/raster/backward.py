@@ -1,44 +1,46 @@
-"""Pallas backward rasterizer kernel.
+"""Pallas backward rasterizer kernel (flat iteration form).
 
 TPU-native redesign of the reference's hand-written backward
 (/root/reference/taichi_splatting/rasterizer/backward.py) — the
 performance-critical kernel of the whole framework (34% of fwd+bwd time
 in the reference's profile). Differences by design:
 
-* Same traversal as the forward (front-to-back replay), but the
-  reference's per-pixel `remaining_features` buffer (backward.py:110,177)
-  is replaced by two scalars per pixel: E = sum_c(final_image * grad) and
-  the running inclusive sum C of w*D — see blend.chunk_alpha_grads.
-  E is precomputed outside the kernel as a (T, P, 1) input so the kernel
-  never transposes.
-* No atomics anywhere (reference: warp shuffle -> shared-memory atomic ->
-  global atomic, backward.py:204-228): each tile DMAs one combined
-  gradient block per chunk — point-parameter rows, optional heuristic
-  rows, then feature rows — to its range of a (rows, K_cap) buffer; a
-  point-sorted prefix reduction (function.py) turns the per-slot
-  gradients into per-point gradients. Bins are unpadded: boundary lanes
-  are masked to zero and the chunk shared with the previous tile is
-  combined read-modify-write (the grid is sequential).
+* Same flat (tile, chunk) iteration structure as the forward (flat.py):
+  one grid step, depth-4 ring input DMA, per-tile cotangent blocks
+  (grad, E) double-buffered with next-tile prefetch, per-chunk gradient
+  blocks assembled in VMEM (boundary-duplicate lanes merged by masked
+  writes) and flushed once per chunk — no atomics (reference: warp
+  shuffle -> shared-memory atomic -> global atomic, backward.py:204-228)
+  and no HBM read-modify-write.
+* Front-to-back replay without the reference's per-pixel
+  `remaining_features` buffer (backward.py:110,177): two scalars per
+  pixel — E = sum_c(final_image * grad) precomputed per tile, and the
+  running inclusive sum C of w*D — see blend.chunk_alpha_grads.
+* Moment-based gradient reduction (non-antialias): all six pdf-parameter
+  gradient rows are per-point linear combinations of six pixel moments
+  of B = dL/da_raw * a_raw, so one (6, P) x (P, G) MXU matmul replaces
+  six full (P, G) gradient fields + reductions. The per-slot buffer's
+  point rows are tile-local (flat.build_combined), so the moment algebra
+  needs no origin handling.
 * Gradients flow to the alpha/weight image as well (the reference marks
-  image_alpha non-differentiable, function.py:72): the gathered feature
-  rows carry a virtual all-ones channel at row F, so the alpha image is
-  just another blended channel in D.
-* The per-point heuristics (prune cost = sum of squared alpha-gradients,
-  split score = l1 norm of the position gradient; backward.py:194-198)
-  are emitted as two extra gradient rows when enabled.
-* Saturation chunk skipping: the forward tracks the first chunk at which
-  every pixel saturates (satchunks); later chunks have exactly-zero
-  gradients by the blend gates, so the backward zero-fills their slots
-  instead of replaying them (the reference's warp-vote early exit).
+  image_alpha non-differentiable): the feature block carries a virtual
+  all-ones channel whose cotangent rides the same math.
+* Per-point heuristics (prune cost, split score; reference
+  backward.py:194-198) are two extra gradient rows when enabled.
+* Saturation skipping: iterations at or past the forward's per-tile
+  saturation count have exactly-zero gradients by the blend gates; the
+  kernel skips their compute and leaves their (pre-zeroed) lanes in the
+  chunk block — replacing round-2's separate zero-fill DMA pass.
 
 Per-slot gradient rows are the LIVE rows, contiguous: 7 point-parameter
 gradients, then (prune_cost, split_score) when compute_point_heuristic,
 then the F feature gradients; zeros pad to a multiple of 8 rows. In f32
 the rows are packed pairwise as bf16 halves of one u32 row (row i holds
-live rows 2i | 2i+1): slot gradients are transport — they get summed
-per point in f32 right after — so bf16 quantization costs ~0.2% relative
-on individual slot contributions while halving the gradient sort's
-payload columns and this kernel's output DMA.
+live rows 2i | 2i+1) unless config.exact_slot_gradients: slot gradients
+are transport — they get summed per point in f32 right after — so bf16
+quantization costs ~0.2% relative on individual slot contributions while
+halving the gradient sort's payload columns and this kernel's output
+DMA.
 """
 
 import functools
@@ -51,7 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import RasterConfig
 from ..mapper import TileMapping
 from . import blend
-from .forward import cdiv_i32, use_interpret
+from .flat import (COEFF_ROWS, FEAT_ROW0, POINT_ROWS, IterationList,
+                   combined_rows, feat_rows, iteration_capacity, round_up)
+from .forward import DMA_DEPTH, rem, use_interpret
 
 
 def live_grad_rows(f: int, compute_point_heuristic: bool) -> int:
@@ -59,49 +63,45 @@ def live_grad_rows(f: int, compute_point_heuristic: bool) -> int:
   return 7 + (2 if compute_point_heuristic else 0) + f
 
 
-def _backward_kernel(config: RasterConfig, tile_shape, f: int,
-                     compute_point_heuristic: bool, pack_bf16: bool):
+def next_nonempty_tile(tile_ranges: jax.Array) -> jax.Array:
+  """(T,) int32: for each tile, the next nonempty tile after it (itself
+  if none) — the backward's per-tile cotangent prefetch target."""
+  n_tiles = tile_ranges.shape[0]
+  idx = jnp.arange(n_tiles, dtype=jnp.int32)
+  nonempty = tile_ranges[:, 1] > tile_ranges[:, 0]
+  cand = jnp.where(nonempty, idx, jnp.iinfo(jnp.int32).max)
+  nxt = jax.lax.associative_scan(jnp.minimum, cand[::-1])[::-1]
+  nxt = jnp.concatenate([nxt[1:], jnp.full((1,), jnp.iinfo(jnp.int32).max,
+                                           jnp.int32)])
+  return jnp.where(nxt == jnp.iinfo(jnp.int32).max, idx, nxt)
+
+
+def _backward_kernel(config: RasterConfig, f: int,
+                     compute_point_heuristic: bool, pack_bf16: bool,
+                     out_rows: int):
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
-  th, tw = tile_shape
 
-  def kernel(starts_ref, ends_ref, nbwd_ref,        # scalar prefetch
-             comb_hbm, grad_ref, e_ref,             # inputs
-             gout_hbm,                              # output
-             comb_vmem, gout_vmem, zero_vmem, rmw_vmem,  # scratch
-             sem_c, sem_g, sem_z, sem_r):
-    t = pl.program_id(0)
-    dtype = grad_ref.dtype
-    start = starts_ref[t]
-    end = ends_ref[t]
-    # bins are unpadded: process the chunk-aligned superset of [start,
-    # end), masking boundary lanes; the shared first chunk is combined
-    # read-modify-write with the previous tile's output
-    fstart = (start // g) * g
-    nch = jnp.where(end > start, cdiv_i32(end - fstart, g), 0)
-    unaligned = start != fstart
-    # chunks >= nbwd have fully saturated pixels: their gated weights and
-    # gradients are exactly zero (blend.chunk_weights), so skip the
-    # compute + input DMA and zero-fill their gradient slots instead
-    # (the reference's warp-vote skip, reference backward.py:121-148)
-    nbwd = jnp.minimum(nch, nbwd_ref[t])
+  def kernel(niter_ref, itile_ref, ioff_ref, starts_ref, ends_ref,
+             nbwd_ref, tnext_ref,                        # scalar prefetch
+             comb_hbm, grad_hbm,                         # inputs (ANY)
+             gout_hbm,                                   # output (ANY)
+             comb_vmem, grad_vmem, e_vmem, gout_vmem,    # scratch
+             t_vmem, c_vmem, goff_hist,                  # scratch
+             sem_c, sem_ge, sem_g):
+    dtype = comb_vmem.dtype
+    n_iter = niter_ref[0]
+    out_dtype = gout_vmem.dtype
 
-    # tile-local pixel coordinates (see forward.py): identical math,
-    # better f32 conditioning, and they make the pixel-moment matrix
-    # tile-independent and well-scaled (px^2 <= tile_size^2)
     lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (lin % ts).astype(dtype) + 0.5
     py = (lin // ts).astype(dtype) + 0.5
-    origin = (((t % tw) * ts).astype(dtype), ((t // tw) * ts).astype(dtype))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
 
     if not config.antialias:
-      # pixel-moment matrix for the moment-based gradient reduction: all
-      # six pdf-parameter gradient rows are per-point linear combinations
-      # of the moments col(B * m), m in {1, px, py, px^2, px*py, py^2}
-      # (B = dL/da_raw * alpha * pdf), so one (6, P) x (P, G) MXU matmul
-      # replaces six full (P, G) gradient fields + reductions
+      # pixel-moment matrix (see module docstring): moments of
+      # B = dL/da_raw * a_raw against [1, px, py, px^2, px*py, py^2]
       lin_r = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
       px_r = (lin_r % ts).astype(dtype) + 0.5
       py_r = (lin_r // ts).astype(dtype) + 0.5
@@ -110,332 +110,347 @@ def _backward_kernel(config: RasterConfig, tile_shape, f: int,
            px_r * px_r, px_r * py_r, py_r * py_r], axis=0)   # (6, P)
       basis = blend.pixel_basis(px, py)                      # (P, 8)
 
-    grad = grad_ref[0]        # (F_pad, P): F features, alpha row, zeros
-    e_col = e_ref[0]          # (P, 1)
-
-    k_cap_total = comb_hbm.shape[1]
-    two = jnp.asarray(2, jnp.int32)
-
-    def chunk_in(c, slot):
-      # prefetch may run one chunk past this bin (contiguous bins; clamped
-      # at the buffer end) — its data is never used
-      off = pl.multiple_of(
-          jnp.minimum(fstart + c * g, k_cap_total - g), g)
+    def chunk_dma(i, slot):
+      off = pl.multiple_of(ioff_ref[i], g)
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
-    def chunk_out(c, slot):
-      off = pl.multiple_of(fstart + c * g, g)
+    def grad_dma(t, slot):
       return pltpu.make_async_copy(
-          gout_vmem.at[slot], gout_hbm.at[:, pl.ds(off, g)], sem_g.at[slot])
+          grad_hbm.at[t], grad_vmem.at[slot], sem_ge.at[slot])
 
-    def rmw_in():
-      off = pl.multiple_of(fstart, g)
+    def gout_flush(off, slot):
+      off = pl.multiple_of(off, g)   # chunk offsets are g-aligned
       return pltpu.make_async_copy(
-          gout_hbm.at[:, pl.ds(off, g)], rmw_vmem, sem_r)
+          gout_vmem.at[slot], gout_hbm.at[:, pl.ds(off, g)],
+          sem_g.at[slot])
 
-    @pl.when(nbwd > 0)
+    for d in range(DMA_DEPTH - 1):
+      @pl.when(d < n_iter)
+      def _(d=d):
+        chunk_dma(d, d).start()
+
+    # warm up the per-tile cotangent pipeline for the first tile
+    @pl.when(n_iter > 0)
     def _():
-      chunk_in(0, 0).start()
+      t0 = itile_ref[0]
+      grad_dma(t0, 0).start()
 
-    # the previous tile's last output chunk overlaps our first: fetch it
-    # early (its write landed before the previous grid step finished)
-    @pl.when((nbwd > 0) & unaligned)
-    def _():
-      rmw_in().start()
+    def body(i, carry):
+      t_prev, k_open, c_local, nbwd, goff_prev, g_open = carry
+      t = itile_ref[i]
+      off = ioff_ref[i]
+      slot = rem(i, DMA_DEPTH)
 
-    def body(c, carry):
-      t_carry, c_carry = carry
-      slot = jax.lax.rem(c, two)
-
-      @pl.when(c + 1 < nbwd)
+      @pl.when(i + DMA_DEPTH - 1 < n_iter)
       def _():
-        chunk_in(c + 1, 1 - slot).start()
+        chunk_dma(i + DMA_DEPTH - 1,
+                  rem(i + DMA_DEPTH - 1, DMA_DEPTH)).start()
 
-      chunk_in(c, slot).wait()
-      # the write of chunk c-2 must land before its scratch slot is reused
-      @pl.when(c >= 2)
+      new_tile = t != t_prev
+
+      # ---- open tile t: wait its cotangents, prefetch the next tile's --
+      @pl.when(new_tile)
       def _():
-        chunk_out(c - 2, slot).wait()
+        islot_new = rem(k_open, 2)
+        grad_dma(t, islot_new).wait()
 
-      pts = comb_vmem[slot, 0:8, :]                   # (8, G)
-      feats = comb_vmem[slot, 8:, :]                  # (F_pad, G)
-      # zero-alpha the lanes outside [start, end): foreign boundary slots
-      # produce exactly-zero gradients in every output row
-      s_idx = fstart + c * g + lane
-      mask = (s_idx >= start) & (s_idx < end)
+        tn = tnext_ref[t]
 
-      if config.antialias:
-        pa = blend.point_row(pts, blend.ALPHA) * mask.astype(dtype)
-        (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
-            blend.chunk_pdf_with_grads(pts, px, py, True, origin=origin))
-        w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
-      else:
-        # coefficient-matmul alpha field (see blend.quad_coeffs): masked
-        # lanes get exactly-zero alpha, hence zero gate and gradients
-        coeffs = blend.quad_coeffs(pts, origin=origin, mask=mask)
-        a_raw = jnp.exp(blend.chunk_log_alpha(basis, coeffs))
-        w = blend.chunk_weights_raw(a_raw, t_carry, config, blending=True,
-                                    cumsum_passes=1)
+        @pl.when(tn != t)
+        def _():
+          grad_dma(tn, 1 - islot_new).start()
 
-      # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel included
-      # via the ones row at F; padding rows are zero on both sides)
-      # gradient-grade precision: the slot gradients are bf16-packed on
-      # output anyway, so 2-pass splits (exact to ~2^-17 when one side is
-      # bf16-exact, ~2^-9 otherwise) are at worst transport-level noise
-      D = blend.dot_split(
-          grad, feats, (((0,), (0,)), ((), ())), passes=3)   # (P, G)
+        # E rides the cotangent block as channel row f+1 (function.py);
+        # reshape the (1, P) row to the (P, 1) column the blend math uses
+        e_vmem[islot_new] = grad_vmem[islot_new, f + 1:f + 2, :].reshape(p, 1)
 
-      ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
+        t_vmem[...] = jnp.ones((p, 1), dtype)
+        c_vmem[...] = jnp.zeros((p, 1), dtype)
 
-      def col(x):  # reduce over pixels (sublanes) -> (1, G)
-        return jnp.sum(x, axis=0, keepdims=True)
+      k_open = jnp.where(new_tile, k_open + 1, k_open)
+      c_local = jnp.where(new_tile, 0, c_local + 1)
+      nbwd = jnp.where(new_tile, nbwd_ref[t], nbwd)
+      islot = rem(k_open - 1, 2)
 
-      if config.antialias:
-        # full per-(pixel, point) gradient fields (the antialiased pdf's
-        # partials are not pixel-polynomial, so no moment shortcut)
-        d_pdf = ag.dL_da_raw * pa                     # (P, G)
-        rows = [col(d_pdf * d_mx),
-                col(d_pdf * d_my),
-                col(d_pdf * d_ax),
-                col(d_pdf * d_ay),
-                col(d_pdf * d_sx),
-                col(d_pdf * d_sy),
-                col(ag.dL_da_raw * pdf)]
-      else:
-        # moment-based reduction: the six pdf-parameter rows are exact
-        # per-point linear combinations of six pixel moments of
-        # B = dL/da_raw * alpha * pdf = dL/da_raw * a_raw (verified
-        # against the full-field formulation; u = tu/sx, v = tv/sy,
-        # d = pixel - mean): col(B*dx) etc. expand via dx = px - mean_x
-        # into the moments.
-        B = ag.dL_da_raw * a_raw                      # (P, G)
-        mom = blend.dot_split(
-            mmat, B, (((1,), (0,)), ((), ())), passes=3)     # (6, G)
-        m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
-        mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+      # ---- open/flush the gradient output chunk ------------------------
+      new_chunk = off != goff_prev
 
-        mxl = blend.point_row(pts, blend.MEAN_X) - origin[0]
-        myl = blend.point_row(pts, blend.MEAN_Y) - origin[1]
-        axr = blend.point_row(pts, blend.AXIS_X)
-        ayr = blend.point_row(pts, blend.AXIS_Y)
-        sxr = blend.point_row(pts, blend.SIGMA_X)
-        syr = blend.point_row(pts, blend.SIGMA_Y)
+      @pl.when(new_chunk)
+      def _():
+        gslot_new = rem(g_open, 2)
 
-        bdx = mx1 - mxl * m0                          # col(B * dx)
-        bdy = my1 - myl * m0
-        bdxx = mxx - 2 * mxl * mx1 + mxl * mxl * m0   # col(B * dx * dx)
-        bdyy = myy - 2 * myl * my1 + myl * myl * m0
-        bdxy = mxy - mxl * my1 - myl * mx1 + mxl * myl * m0
+        @pl.when(g_open >= 1)
+        def _():
+          gout_flush(goff_prev, 1 - gslot_new).start()
 
-        isx2 = 1.0 / (sxr * sxr)
-        isy2 = 1.0 / (syr * syr)
-        bus = (axr * bdx + ayr * bdy) * isx2          # col(B * u / sx)
-        bvs = (axr * bdy - ayr * bdx) * isy2          # col(B * v / sy)
-        btutu = (axr * axr * bdxx + 2 * axr * ayr * bdxy
-                 + ayr * ayr * bdyy)                  # col(B * tu^2)
-        btvtv = (axr * axr * bdyy - 2 * axr * ayr * bdxy
-                 + ayr * ayr * bdxx)
-        btudx = axr * bdxx + ayr * bdxy               # col(B * tu * dx)
-        btudy = axr * bdxy + ayr * bdyy
-        btvdx = axr * bdxy - ayr * bdxx
-        btvdy = axr * bdyy - ayr * bdxy
+        @pl.when(g_open >= 2)
+        def _():
+          gout_flush(goff_hist[gslot_new], gslot_new).wait()
 
-        # alpha row: col(dL_da_raw * pdf) = col(B) / pa = m0 / pa
-        # (masked/gated lanes have B = 0, so m0 = 0 and the row is 0;
-        # the sentinel's pa = 0 is guarded to 0)
-        pa_r = blend.point_row(pts, blend.ALPHA)
-        rows = [axr * bus - ayr * bvs,
-                ayr * bus + axr * bvs,
-                -(btudx * isx2 + btvdy * isy2),
-                -(btudy * isx2 - btvdx * isy2),
-                btutu * isx2 / sxr,
-                btvtv * isy2 / syr,
-                jnp.where(pa_r > 0, m0 / pa_r, 0.0)]
+        goff_hist[gslot_new] = off
+        gout_vmem[gslot_new] = jnp.zeros((out_rows, g), out_dtype)
 
-      if compute_point_heuristic:
-        # reference backward.py:194-198: per pixel aag = point_alpha *
-        # dL/da_raw; prune cost = sum_p aag^2, split score =
-        # sum_p |aag * dp_dmean|_1 (absolute values - no moment shortcut)
+      g_open = jnp.where(new_chunk, g_open + 1, g_open)
+      goff_prev = off
+      gslot = rem(g_open - 1, 2)
+
+      chunk_dma(i, slot).wait()
+
+      # ---- gradient compute (skipped at/past the forward's saturation
+      # point: gradients there are exactly zero by the blend gates) ------
+      def compute():
+        start = starts_ref[t]
+        end = ends_ref[t]
+        s_idx = off + lane
+        maskb = (s_idx >= start) & (s_idx < end)
+        mask = maskb.astype(dtype)
+        t_carry = t_vmem[...]
+        c_carry = c_vmem[...]
+        grad = grad_vmem[islot]      # (F_pad, P)
+        e_col = e_vmem[islot]        # (P, 1)
+        pts = comb_vmem[slot, POINT_ROWS, :]
+        feats = comb_vmem[slot, FEAT_ROW0:, :]
+
         if config.antialias:
-          aag = ag.dL_da_raw * pa
-          rows.append(col(aag * aag))
-          rows.append(col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my)))
+          pa = blend.point_row(pts, blend.ALPHA) * mask
+          (pdf, d_mx, d_my, d_ax, d_ay, d_sx, d_sy) = (
+              blend.chunk_pdf_with_grads(pts, px, py, True))
+          w = blend.chunk_weights(pdf, pa, t_carry, config, blending=True)
         else:
-          # aag = dL_da_raw * pa and d_m = pdf * q (q linear in tu, tv):
-          # aag^2 = pa^2 * dL_da_raw^2 and |aag * d_m| = |B * q|, so the
-          # pdf field itself is never materialized
-          dx = px - (blend.point_row(pts, blend.MEAN_X) - origin[0])
-          dy = py - (blend.point_row(pts, blend.MEAN_Y) - origin[1])
-          tu = dx * axr + dy * ayr
-          tv = dy * axr - dx * ayr
-          qx = tu * (isx2 * axr) - tv * (isy2 * ayr)
-          qy = tu * (isx2 * ayr) + tv * (isy2 * axr)
-          rows.append((pa_r * pa_r) * col(ag.dL_da_raw * ag.dL_da_raw))
-          rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
+          coeffs = comb_vmem[slot, COEFF_ROWS, :]
+          a_raw = jnp.exp(blend.chunk_log_alpha(basis, coeffs)) * mask
+          w = blend.chunk_weights_raw(a_raw, t_carry, config,
+                                      blending=True, cumsum_passes=1)
 
-      # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g];
-      # only the F real channels are live (the virtual alpha channel's
-      # pseudo-gradient is never consumed)
-      featg = blend.dot_split(
-          grad, w.weight, (((1,), (0,)), ((), ())), passes=3)  # (F_pad, G)
-      rows.extend(featg[i:i + 1, :] for i in range(f))
+        # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel via the
+        # ones row; padding rows zero on both sides). Gradient-grade
+        # precision: slot gradients are bf16-packed on output anyway.
+        D = blend.dot_split(
+            grad, feats, (((0,), (0,)), ((), ())), passes=3)   # (P, G)
 
-      out_rows = gout_vmem.shape[1]
-      if pack_bf16:
-        # pack row pairs as bf16 in one u32: halves the slot-gradient
-        # HBM traffic and the downstream sort's payload columns, and the
-        # unpacked values are exactly bf16 so the segment-sum kernel's
-        # one-hot matmul needs a single (lossless) bf16 pass
-        def b16(x):
-          y = x.astype(jnp.bfloat16).astype(jnp.float32)
-          return jax.lax.bitcast_convert_type(y, jnp.uint32) >> 16
+        ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
 
-        zrow = jnp.zeros((1, g), dtype)
-        for i in range((len(rows) + 1) // 2):
-          lo = rows[2 * i + 1] if 2 * i + 1 < len(rows) else zrow
-          gout_vmem[slot, i:i + 1, :] = (b16(rows[2 * i]) << 16) | b16(lo)
-        n_written = (len(rows) + 1) // 2
-        pad = jnp.zeros((out_rows - n_written, g), jnp.uint32)
-      else:
-        for i, r_val in enumerate(rows):
-          gout_vmem[slot, i:i + 1, :] = r_val
-        n_written = len(rows)
-        pad = jnp.zeros((out_rows - n_written, g), dtype)
-      if n_written < out_rows:
-        gout_vmem[slot, n_written:, :] = pad
+        def col(x):  # reduce over pixels (sublanes) -> (1, G)
+          return jnp.sum(x, axis=0, keepdims=True)
 
-      # combine the shared boundary chunk with the previous tile's
-      # output: lanes before `start` belong to previous tiles (our
-      # masked lanes are exactly zero there, theirs are final values,
-      # so a lane select is exact — and works on packed rows too)
-      @pl.when((c == 0) & unaligned)
+        if config.antialias:
+          d_pdf = ag.dL_da_raw * pa                     # (P, G)
+          rows = [col(d_pdf * d_mx),
+                  col(d_pdf * d_my),
+                  col(d_pdf * d_ax),
+                  col(d_pdf * d_ay),
+                  col(d_pdf * d_sx),
+                  col(d_pdf * d_sy),
+                  col(ag.dL_da_raw * pdf)]
+        else:
+          # moment-based reduction (verified against the full-field
+          # formulation; u = tu/sx, v = tv/sy, d = pixel - mean):
+          # col(B*dx) etc. expand via dx = px - mean_x into the moments.
+          B = ag.dL_da_raw * a_raw                      # (P, G)
+          mom = blend.dot_split(
+              mmat, B, (((1,), (0,)), ((), ())), passes=3)     # (6, G)
+          m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
+          mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
+
+          mxl = blend.point_row(pts, blend.MEAN_X)      # tile-local
+          myl = blend.point_row(pts, blend.MEAN_Y)
+          axr = blend.point_row(pts, blend.AXIS_X)
+          ayr = blend.point_row(pts, blend.AXIS_Y)
+          sxr = blend.point_row(pts, blend.SIGMA_X)
+          syr = blend.point_row(pts, blend.SIGMA_Y)
+
+          bdx = mx1 - mxl * m0                          # col(B * dx)
+          bdy = my1 - myl * m0
+          bdxx = mxx - 2 * mxl * mx1 + mxl * mxl * m0   # col(B * dx * dx)
+          bdyy = myy - 2 * myl * my1 + myl * myl * m0
+          bdxy = mxy - mxl * my1 - myl * mx1 + mxl * myl * m0
+
+          isx2 = 1.0 / (sxr * sxr)
+          isy2 = 1.0 / (syr * syr)
+          bus = (axr * bdx + ayr * bdy) * isx2          # col(B * u / sx)
+          bvs = (axr * bdy - ayr * bdx) * isy2          # col(B * v / sy)
+          btutu = (axr * axr * bdxx + 2 * axr * ayr * bdxy
+                   + ayr * ayr * bdyy)                  # col(B * tu^2)
+          btvtv = (axr * axr * bdyy - 2 * axr * ayr * bdxy
+                   + ayr * ayr * bdxx)
+          btudx = axr * bdxx + ayr * bdxy               # col(B * tu * dx)
+          btudy = axr * bdxy + ayr * bdyy
+          btvdx = axr * bdxy - ayr * bdxx
+          btvdy = axr * bdyy - ayr * bdxy
+
+          # alpha row: col(dL_da_raw * pdf) = col(B) / pa = m0 / pa
+          pa_r = blend.point_row(pts, blend.ALPHA)
+          rows = [axr * bus - ayr * bvs,
+                  ayr * bus + axr * bvs,
+                  -(btudx * isx2 + btvdy * isy2),
+                  -(btudy * isx2 - btvdx * isy2),
+                  btutu * isx2 / sxr,
+                  btvtv * isy2 / syr,
+                  jnp.where(pa_r > 0, m0 / pa_r, 0.0)]
+
+        if compute_point_heuristic:
+          # reference backward.py:194-198: per pixel aag = point_alpha *
+          # dL/da_raw; prune cost = sum_p aag^2, split score =
+          # sum_p |aag * dp_dmean|_1
+          if config.antialias:
+            aag = ag.dL_da_raw * pa
+            rows.append(col(aag * aag))
+            rows.append(col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my)))
+          else:
+            dx = px - blend.point_row(pts, blend.MEAN_X)
+            dy = py - blend.point_row(pts, blend.MEAN_Y)
+            tu = dx * axr + dy * ayr
+            tv = dy * axr - dx * ayr
+            qx = tu * (isx2 * axr) - tv * (isy2 * ayr)
+            qy = tu * (isx2 * ayr) + tv * (isy2 * axr)
+            rows.append((pa_r * pa_r) * col(ag.dL_da_raw * ag.dL_da_raw))
+            rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
+
+        # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
+        featg = blend.dot_split(
+            grad, w.weight, (((1,), (0,)), ((), ())), passes=3)  # (F_pad, G)
+        rows.extend(featg[i2:i2 + 1, :] for i2 in range(f))
+
+        if pack_bf16:
+          # pack row pairs as bf16 in one u32: halves the slot-gradient
+          # HBM traffic and the downstream sort's payload columns; the
+          # unpacked halves are exactly bf16 so the segment-sum kernel's
+          # one-hot matmul needs a single (lossless) bf16 pass
+          def b16(x):
+            y = x.astype(jnp.bfloat16).astype(jnp.float32)
+            return jax.lax.bitcast_convert_type(y, jnp.uint32) >> 16
+
+          zrow = jnp.zeros((1, g), dtype)
+          stored_rows = []
+          for i2 in range((len(rows) + 1) // 2):
+            lo = rows[2 * i2 + 1] if 2 * i2 + 1 < len(rows) else zrow
+            stored_rows.append((b16(rows[2 * i2]) << 16) | b16(lo))
+        else:
+          stored_rows = rows
+        block = jnp.concatenate(
+            stored_rows
+            + [jnp.zeros((out_rows - len(stored_rows), g), out_dtype)],
+            axis=0)
+        # lanes outside [start, end) belong to the adjacent tile's
+        # iteration over this shared chunk — keep their existing values
+        # (pre-zeroed at chunk open, possibly already written)
+        gout_vmem[gslot] = jnp.where(
+            jnp.broadcast_to(maskb, (out_rows, g)), block,
+            gout_vmem[gslot])
+
+        t_vmem[...] = w.t_carry
+        c_vmem[...] = ag.c_carry
+
+      # Skipped (post-saturation) iterations leave their pre-zeroed lanes
+      # in the chunk block — zero gradients, exact by the blend gates.
+      pl.when(c_local < nbwd)(compute)
+
+      return (t, k_open, c_local, nbwd, goff_prev, g_open)
+
+    init = (jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32))
+    t_prev, k_open, c_local, nbwd, goff_prev, g_open = (
+        jax.lax.fori_loop(0, n_iter, body, init))
+
+    # ---- drain ----------------------------------------------------------
+    @pl.when(g_open >= 1)
+    def _():
+      last = rem(g_open - 1, 2)
+      gout_flush(goff_prev, last).start()
+      gout_flush(goff_prev, last).wait()
+
+    @pl.when(g_open >= 2)
+    def _():
+      other = rem(g_open, 2)
+      gout_flush(goff_hist[other], other).wait()
+
+    # the last tile's redundant self-prefetch (tnext == t) was never
+    # started; the outstanding prefetch, if any, targeted tnext[t_prev]
+    # != t_prev and was waited when that tile opened — except the final
+    # prefetch issued at the last OPEN, which targets a tile never
+    # opened. Wait it here so no DMA outlives the kernel.
+    @pl.when(k_open >= 1)
+    def _():
+      tn = tnext_ref[t_prev]
+
+      @pl.when(tn != t_prev)
       def _():
-        rmw_in().wait()
-        prev_lane = (fstart + lane) < start            # (1, G)
-        gout_vmem[slot] = jnp.where(
-            jnp.broadcast_to(prev_lane, gout_vmem[slot].shape),
-            rmw_vmem[:, :], gout_vmem[slot])
-
-      chunk_out(c, slot).start()
-      return w.t_carry, ag.c_carry
-
-    t0 = jnp.ones((p, 1), dtype)
-    c0 = jnp.zeros((p, 1), dtype)
-    jax.lax.fori_loop(0, nbwd, body, (t0, c0))
-
-    # drain outstanding gradient writes before the next grid step reuses
-    # the scratch slots
-    @pl.when(nbwd >= 2)
-    def _():
-      chunk_out(nbwd - 2, jax.lax.rem(nbwd - 2, two)).wait()
-
-    @pl.when(nbwd >= 1)
-    def _():
-      chunk_out(nbwd - 1, jax.lax.rem(nbwd - 1, two)).wait()
-
-    # zero-fill the skipped chunks' gradient slots (the reduction reads
-    # every slot in [0, total); the HBM buffer is otherwise uninitialized
-    # there). A skipped *shared* first chunk is left untouched: the
-    # previous tile already wrote zeros in our lanes.
-    zero_vmem[...] = jnp.zeros_like(zero_vmem)
-    zstart = jnp.where((nbwd == 0) & unaligned, 1, nbwd)
-
-    def zfill(c, slot):
-      off = pl.multiple_of(fstart + c * g, g)
-      return pltpu.make_async_copy(
-          zero_vmem, gout_hbm.at[:, pl.ds(off, g)], sem_z.at[slot])
-
-    def zbody(c, _):
-      slot = jax.lax.rem(c, two)
-
-      @pl.when(c - 2 >= zstart)
-      def _():
-        zfill(c - 2, slot).wait()
-
-      zfill(c, slot).start()
-      return 0
-
-    jax.lax.fori_loop(zstart, nch, zbody, 0)
-
-    @pl.when(nch - 2 >= zstart)
-    def _():
-      zfill(nch - 2, jax.lax.rem(nch - 2, two)).wait()
-
-    @pl.when(nch - 1 >= zstart)
-    def _():
-      zfill(nch - 1, jax.lax.rem(nch - 1, two)).wait()
+        pslot = rem(k_open, 2)
+        grad_dma(tn, pslot).wait()
 
   return kernel
 
 
 @functools.partial(
     jax.jit, static_argnames=("config", "f", "compute_point_heuristic"))
-def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
-                           grad_padded: jax.Array,       # (T, F_pad, P)
-                           e_tiles: jax.Array,           # (T, P, 1)
+def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
+                           iters: IterationList,
+                           grad_padded: jax.Array,    # (T, F_pad, P)
                            mapping: TileMapping,
                            f: int = None,
                            config: RasterConfig = None,
                            compute_point_heuristic: bool = False,
-                           satchunks: jax.Array = None):
-  """Run the backward kernel over the mapper's unpadded abutting bins.
+                           satiters: jax.Array = None):
+  """Run the flat backward kernel over the mapper's abutting bins.
 
-  grad_padded carries the feature-image cotangent rows, then the
-  alpha-image cotangent row at index F, then zeros up to F_pad;
-  e_tiles[t, p, 0] = sum_c final_image[t, c, p] * grad_padded[t, c, p];
-  satchunks (T,) int32 is the forward's per-tile saturation chunk count
-  (chunks beyond it are zero-filled, not replayed); None replays all.
+  combined is flat.build_combined's per-slot buffer (shared with the
+  forward as the vjp residual); grad_padded carries the feature-image
+  cotangent rows, the alpha-image cotangent row at index F, the per-pixel
+  replay scalar E = sum_c final_image[t, c, p] * grad[t, c, p] at index
+  F + 1 (the matching combined row is zero, so E never contaminates the
+  D contraction), then zeros up to F_pad = flat.feat_rows(F); satiters
+  (T,) int32 is the forward's per-tile saturation count (iterations
+  at/past it are skipped — exact); None replays everything.
 
   Returns the per-slot gradient buffer: live rows contiguous (see the
   module docstring), bf16-pair-packed into uint32 rows when the compute
-  dtype is f32. Reduce by point outside (function.py).
+  dtype is f32 and config.exact_slot_gradients is False. Reduce by point
+  outside (function.py).
   """
-  dtype = gathered.dtype
-  ts = config.tile_size
+  dtype = combined.dtype
   g = config.points_per_chunk
   th, tw = mapping.tile_shape
   n_tiles = th * tw
-  p = ts * ts
   k_cap = mapping.overlap_to_point.shape[0]
-  f_pad = gathered.shape[0] - 8
-  if f is None:
-    f = f_pad - 1
-  pack_bf16 = dtype == jnp.float32
+  assert combined.shape[0] == combined_rows(f)
+  pack_bf16 = dtype == jnp.float32 and not config.exact_slot_gradients
   live = live_grad_rows(f, compute_point_heuristic)
   stored = (live + 1) // 2 if pack_bf16 else live
-  rows = -(-stored // 8) * 8
+  rows = round_up(stored, 8)
   out_dtype = jnp.uint32 if pack_bf16 else dtype
 
-  starts = mapping.tile_ranges[:, 0]
-  ends = mapping.tile_ranges[:, 1]
-  if satchunks is None:
-    # replay everything (the kernel clamps to each tile's chunk count)
-    satchunks = jnp.full((n_tiles,), jnp.iinfo(jnp.int32).max, jnp.int32)
+  if satiters is None:
+    satiters = jnp.full((n_tiles,), jnp.iinfo(jnp.int32).max, jnp.int32)
+  tnext = next_nonempty_tile(mapping.tile_ranges)
 
-  kernel = _backward_kernel(config, (th, tw), f, compute_point_heuristic,
-                            pack_bf16)
+  kernel = _backward_kernel(config, f, compute_point_heuristic, pack_bf16,
+                            rows)
+
+  f_pad = grad_padded.shape[1]
+  p = grad_padded.shape[2]
+  assert f_pad == feat_rows(f)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3,
-      grid=(n_tiles,),
+      num_scalar_prefetch=7,
+      grid=(1,),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec((1, f_pad, p), lambda t, *_: (t, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0),
-                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pl.ANY),
       ],
       out_specs=pl.BlockSpec(memory_space=pl.ANY),
       scratch_shapes=[
-          pltpu.VMEM((2, gathered.shape[0], g), dtype),  # double-buffered in
-          pltpu.VMEM((2, rows, g), out_dtype),           # double-buffered out
-          pltpu.VMEM((rows, g), out_dtype),              # zero-fill block
-          pltpu.VMEM((rows, g), out_dtype),              # boundary-chunk RMW
+          pltpu.VMEM((DMA_DEPTH, combined.shape[0], g), dtype),
+          pltpu.VMEM((2, f_pad, p), dtype),
+          pltpu.VMEM((2, p, 1), dtype),
+          pltpu.VMEM((2, rows, g), out_dtype),
+          pltpu.VMEM((p, 1), dtype),
+          pltpu.VMEM((p, 1), dtype),
+          pltpu.SMEM((2,), jnp.int32),
+          pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
-          pltpu.SemaphoreType.DMA((2,)),
-          pltpu.SemaphoreType.DMA,
       ],
   )
 
@@ -446,6 +461,9 @@ def raster_backward_pallas(gathered: jax.Array,          # (8+F_pad, K_cap)
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(starts, ends, satchunks, gathered, grad_padded, e_tiles)
+  )(iters.n_iter, iters.iter_tile, iters.iter_off,
+    mapping.tile_ranges[:, 0], mapping.tile_ranges[:, 1],
+    satiters, tnext,
+    combined, grad_padded)
 
   return gout

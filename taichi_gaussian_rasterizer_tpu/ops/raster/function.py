@@ -29,7 +29,8 @@ from ...config import RasterConfig
 from ..mapper import TileMapping, map_to_tiles
 from . import tiles
 from .backward import live_grad_rows, raster_backward_pallas
-from .forward import gather_combined, rasterize_tiles_pallas, round_up
+from .flat import build_combined, build_iteration_list, feat_rows, round_up
+from .forward import rasterize_tiles_flat
 from .reduce import segment_sums_by_sorted_key
 
 
@@ -66,13 +67,6 @@ def _sort_and_segment(slots: jax.Array, mapping: TileMapping) -> jax.Array:
       num_keys=1)
   keys = ops[0]
   grouped = jnp.stack(ops[1:], axis=0)                       # (R, K_cap)
-  k = grouped.shape[1]
-  k_pad = max(round_up(k, 128), 128)
-  if k_pad != k:  # tiny test capacities; production K is 128-aligned
-    keys = jnp.concatenate(
-        [keys, jnp.full((k_pad - k,), n, jnp.int32)])
-    grouped = jnp.concatenate(
-        [grouped, jnp.zeros((r, k_pad - k), grouped.dtype)], axis=1)
   return segment_sums_by_sorted_key(keys, grouped,
                                     mapping.point_offsets, n)
 
@@ -99,53 +93,61 @@ def _float0_like(tree):
       else jnp.zeros_like(x), tree)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _raster_core(config: RasterConfig, compute_visibility: bool,
-                 points, features, heuristic_sink, mapping: TileMapping):
-  tiled, vis, _satchunks = rasterize_tiles_pallas(
-      points, features, mapping, config,
+def _forward_impl(config, compute_visibility, points, features, mapping):
+  f = features.shape[1]
+  combined = build_combined(points, features, mapping, config)
+  iters = build_iteration_list(mapping, config.points_per_chunk)
+  tiled, vis, satiters = rasterize_tiles_flat(
+      combined, iters, mapping, config, f,
       compute_visibility=compute_visibility)
   if vis is None:
     vis = jnp.zeros((1, mapping.overlap_to_point.shape[0]), points.dtype)
+  return combined, iters, tiled[:, :f + 1, :], vis, satiters
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _raster_core(config: RasterConfig, compute_visibility: bool,
+                 points, features, heuristic_sink, mapping: TileMapping):
+  _, _, tiled, vis, _ = _forward_impl(
+      config, compute_visibility, points, features, mapping)
   return tiled, vis
 
 
 def _raster_core_fwd(config, compute_visibility, points, features,
                      heuristic_sink, mapping):
-  tiled, vis, satchunks = rasterize_tiles_pallas(
-      points, features, mapping, config,
-      compute_visibility=compute_visibility)
-  if vis is None:
-    vis = jnp.zeros((1, mapping.overlap_to_point.shape[0]), points.dtype)
-  # the combined gathered buffer is saved as a residual (XLA CSEs it with
-  # the forward's own gather): gathers cost ~20ns/row on TPU, so
+  # the combined per-slot buffer is saved as a residual (XLA CSEs it with
+  # the forward's own build): its gather costs ~6 ns/idx on TPU, so
   # re-gathering in the backward would be a large fraction of the whole
-  # backward pass. satchunks lets the backward skip saturated chunks.
-  gathered = gather_combined(points, features, mapping)
-  return (tiled, vis), (gathered, tiled, satchunks, mapping)
+  # backward pass. satiters lets the backward skip saturated chunks.
+  combined, iters, tiled, vis, satiters = _forward_impl(
+      config, compute_visibility, points, features, mapping)
+  return (tiled, vis), (combined, iters, tiled, satiters, mapping)
 
 
 def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
-  gathered, tiled, satchunks, mapping = residuals
+  combined, iters, tiled, satiters, mapping = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
   n = mapping.point_sentinel
   f = tiled.shape[1] - 1
-  dtype = gathered.dtype
-  f_pad = round_up(f + 1, 8)
+  dtype = combined.dtype
+  f_pad = feat_rows(f)
   t = tiled.shape[0]
   p = tiled.shape[2]
 
   compute_heuristic = config.compute_point_heuristic
   g_tiled = g_tiled.astype(dtype)
+  # E (the per-pixel replay scalar, sum_c image * grad over the real
+  # rows) rides the cotangent block as channel row f+1 — one DMA per
+  # tile brings both, and the matching combined row is zero so the D
+  # contraction is unaffected (backward.py)
+  e_row = jnp.sum(tiled * g_tiled, axis=1, keepdims=True)         # (T,1,P)
   grad_padded = jnp.concatenate(
-      [g_tiled, jnp.zeros((t, f_pad - f - 1, p), dtype)], axis=1)
-  # padding channels are zero on both sides: E needs only the real rows
-  e_tiles = jnp.sum(tiled * g_tiled, axis=1)[..., None]           # (T,P,1)
+      [g_tiled, e_row, jnp.zeros((t, f_pad - f - 2, p), dtype)], axis=1)
 
   gout = raster_backward_pallas(
-      gathered, grad_padded, e_tiles, mapping, f=f, config=config,
-      compute_point_heuristic=compute_heuristic, satchunks=satchunks)
+      combined, iters, grad_padded, mapping, f=f, config=config,
+      compute_point_heuristic=compute_heuristic, satiters=satiters)
 
   # reduce only the live rows (7 point grads [+2 heuristics] + F feature
   # grads, contiguous); in f32 they arrive packed as bf16 pairs in u32

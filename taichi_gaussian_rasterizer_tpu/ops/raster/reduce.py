@@ -149,7 +149,15 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
   """
   r, k = values.shape
   g = 128
-  assert k % g == 0, f"slot stream length {k} must be a multiple of {g}"
+  if k % g != 0:
+    # the kernel DMAs 128-lane chunks; pad sentinels (key n, zero values)
+    # here so every caller sees the same contract (production K from the
+    # mapper is already chunk-aligned — this covers tiny test capacities)
+    k_pad = cdiv(max(k, 1), g) * g
+    keys = jnp.concatenate([keys, jnp.full((k_pad - k,), n, jnp.int32)])
+    values = jnp.concatenate(
+        [values, jnp.zeros((r, k_pad - k), values.dtype)], axis=1)
+    k = k_pad
   packed = values.dtype == jnp.uint32
   out_dtype = jnp.float32 if packed else values.dtype
   if n == 0:

@@ -112,13 +112,11 @@ def dp_train_step(mesh: Mesh,
       params = params.step(grads, weight=jnp.ones((n,), jnp.float32))
     return params, loss
 
-  from jax.experimental.shard_map import shard_map
-
-  sharded = shard_map(
+  sharded = jax.shard_map(
       device_fn, mesh=mesh,
       in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
       out_specs=(P(), P()),
-      check_rep=False)
+      check_vma=False)
 
   return jax.jit(sharded)
 

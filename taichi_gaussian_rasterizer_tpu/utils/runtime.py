@@ -16,19 +16,30 @@ import jax
 
 
 def init(platform: Optional[str] = None, debug: bool = False,
-         enable_x64: bool = False):
+         enable_x64: bool = False,
+         compilation_cache: Optional[str] = "~/.cache/tgr_xla"):
   """Configure the JAX runtime (the reference's TaichiQueue.init analog,
   taichi_queue.py:43-50).
 
   platform: "tpu" / "cpu" / None (keep environment default). Must be
   called before first backend use.
   debug: enable jax_debug_nans (the reference's Taichi debug-mode analog).
+  compilation_cache: persistent XLA compile-cache directory (None to
+  disable). Raster-kernel specializations compile in ~1-2 min each on
+  the TPU toolchain; the cache makes every later process pay seconds
+  (the reference's lazy-Taichi-JIT experience, README.md:95).
   """
   if platform is not None:
     jax.config.update("jax_platforms", platform)
   if enable_x64:
     jax.config.update("jax_enable_x64", True)
   jax.config.update("jax_debug_nans", debug)
+  if compilation_cache:
+    path = os.path.expanduser(compilation_cache)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @contextlib.contextmanager

@@ -23,3 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite is compile-bound (interpret-mode
+# Pallas + x64 recompiles), so repeat local runs — especially the
+# `-m quick` smoke subset — hit the cache and run in seconds.
+_cache = os.path.expanduser("~/.cache/tgr_xla_test")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

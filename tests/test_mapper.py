@@ -68,7 +68,8 @@ def make_scene(seed, n, image_size, dtype=jnp.float64):
   return points, g.z_depth
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize(
+    "seed", [pytest.param(0, marks=pytest.mark.quick)] + list(range(1, 8)))
 def test_mapper_matches_oracle(seed):
   image_size = (160, 96)
   config = RasterConfig(tile_size=16, points_per_chunk=8)

@@ -38,6 +38,7 @@ def numpy_adam_step(param, grad, m, v, t, lr, betas=(0.9, 0.999), eps=1e-16):
   return param - step * damp, m, v
 
 
+@pytest.mark.quick
 def test_fractional_adam_matches_dense_adam():
   """With every point visible at weight 1, fractional Adam (scalar) must
   match a standard numpy Adam with the saturate(1) damping, step after
@@ -138,6 +139,7 @@ def test_visibility_weighting_formula():
   assert float(w[2]) == 0.0
 
 
+@pytest.mark.quick
 def test_resampling_preserves_state():
   p = make_params(n=10)
   g = {"position": jnp.ones((10, 3))}

@@ -28,7 +28,8 @@ def scene(seed, n, image_size, num_channels=3):
   return project_gaussians2d(g), g.z_depth.reshape(-1), g.feature
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize(
+    "seed", [pytest.param(0, marks=pytest.mark.quick)] + list(range(1, 4)))
 @pytest.mark.parametrize("antialias", [False, True])
 def test_pallas_grads_match_xla(seed, antialias):
   image_size = (32, 24)
@@ -121,6 +122,7 @@ def test_heuristic_sink():
   assert (np.asarray(heur)[pos_grad_mag == 0, 1] == 0).all()
 
 
+@pytest.mark.quick
 def test_rasterize_one_call():
   """rasterize = map_to_tiles + rasterize_with_tiles (function.py:129)."""
   image_size = (32, 32)

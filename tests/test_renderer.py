@@ -52,6 +52,7 @@ def test_render_gaussians_shapes(use_sh, render_depth):
   assert r.num_points == 150
 
 
+@pytest.mark.quick
 def test_single_opaque_gaussian_depth():
   """One nearly-opaque gaussian at z=5 in front of the camera: blended
   and median depth at the center must be ~5, variance ~0."""
@@ -151,6 +152,7 @@ def test_viewspace_gradient():
   assert (np.asarray(vg) >= 0).all() and np.asarray(vg).sum() > 0
 
 
+@pytest.mark.quick
 def test_rendering_is_pytree():
   camera = small_camera()
   g = random_3d_gaussians(jax.random.PRNGKey(5), 20, camera,

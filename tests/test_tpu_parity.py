@@ -94,6 +94,13 @@ def test_tpu_matches_cpu_oracle(tmp_path):
         f"{k}: p99.9 err {p999:.2e} > {p999_tol:.0e} * {scale:.2e}")
     assert err.max() <= max_tol * scale, (
         f"{k}: max err {err.max():.2e} > {max_tol:.0e} * {scale:.2e}")
+    # the loose max_tol exists for isolated threshold-gate flips only: a
+    # broad 1-2% drift (a real kernel regression) must still fail, so
+    # bound the FRACTION of entries above the p99.9-class tolerance
+    frac = float(np.mean(err > p999_tol * scale))
+    assert frac <= 2e-3, (
+        f"{k}: {frac:.2%} of entries exceed {p999_tol:.0e} * scale — "
+        "broad drift, not isolated gate flips")
 
   for k in ("image", "weight", "visibility"):
     check(k, 1e-3, 2e-2)

@@ -41,19 +41,23 @@ def main():
   p.add_argument("--cpu", action="store_true")
   p.add_argument("--check", action="store_true", help="finiteness checks")
   p.add_argument("--depth16", action="store_true")
-  p.add_argument("--snug_tails", action="store_true")
+  p.add_argument("--snug", action="store_true",
+                 help="snug emit tails + capacity (the bench.py flow)")
   args = p.parse_args()
   if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 
   from taichi_gaussian_rasterizer_tpu import (RasterConfig, map_to_tiles,
                                               project_to_image)
-  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import (
-      gather_combined, rasterize_tiles_pallas, round_up)
   from taichi_gaussian_rasterizer_tpu.ops.raster.backward import (
-      raster_backward_pallas)
+      live_grad_rows, raster_backward_pallas)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.flat import (
+      build_combined, build_iteration_list, feat_rows)
+  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import (
+      rasterize_tiles_flat)
   from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
-      reduce_slots_by_point)
+      reduce_packed_slots_by_point, reduce_slots_by_point)
+  from taichi_gaussian_rasterizer_tpu.utils import morton
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
       random_camera, random_3d_gaussians)
 
@@ -61,10 +65,11 @@ def main():
   image_size = (args.size, args.size * 3 // 4)
   config = RasterConfig(tile_size=args.tile_size,
                         points_per_chunk=args.chunk)
-  capacity = args.capacity_factor * n
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
+  order = morton.argsort(g.position)
+  g = jax.tree.map(lambda x: jnp.take(x, order, axis=0), g)
 
   proj = jax.jit(partial(project_to_image, config=config))
   (pts, depth, iv), ms = timeit(proj, g, camera, iters=args.iters)
@@ -73,10 +78,15 @@ def main():
     finite("projection", (pts, depth))
 
   emit_tails = None
-  if args.snug_tails:
+  capacity = args.capacity_factor * n
+  if args.snug:
     from taichi_gaussian_rasterizer_tpu import probe_emit_tails
     emit_tails = probe_emit_tails(pts, image_size, config)
-    print(f"emit_tails: {emit_tails}")
+    probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
+                             capacity=capacity, emit_tails=emit_tails)
+    total = int(probe_map.total_overlaps)
+    capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
+    print(f"emit_tails: {emit_tails}  capacity: {capacity}")
   mapper = jax.jit(partial(map_to_tiles, image_size=image_size,
                            config=config, capacity=capacity,
                            use_depth16=args.depth16, emit_tails=emit_tails))
@@ -85,48 +95,42 @@ def main():
         f"overflow={bool(mapping.overflow)} "
         f"k_pad={mapping.overlap_to_point.shape[0]}")
 
-  gathered, ms = timeit(lambda p, f: gather_combined(p, f, mapping),
-                        pts, g.feature, iters=args.iters)
-  print(f"combined gather: {ms:.2f} ms")
+  f = g.feature.shape[1]
+  build = jax.jit(lambda p, ft: build_combined(p, ft, mapping, config))
+  combined, ms = timeit(build, pts, g.feature, iters=args.iters)
+  print(f"build_combined: {ms:.2f} ms  rows={combined.shape[0]}")
 
-  (tiled, _, satchunks), ms = timeit(lambda p, f: rasterize_tiles_pallas(
-      p, f, mapping, config), pts, g.feature, iters=args.iters)
-  from taichi_gaussian_rasterizer_tpu.ops.raster.forward import cdiv_i32
-  nch = cdiv_i32(mapping.tile_ranges[:, 1] - mapping.tile_ranges[:, 0],
-                 config.points_per_chunk)
-  print(f"raster fwd (incl gather): {ms:.2f} ms  "
-        f"sat-skipped chunks: {int(jnp.sum(nch - jnp.minimum(nch, satchunks)))}"
-        f"/{int(jnp.sum(nch))}")
+  iterf = jax.jit(lambda: build_iteration_list(mapping, config.points_per_chunk))
+  iters_l, ms = timeit(iterf, iters=args.iters)
+  print(f"iteration list: {ms:.2f} ms  n_iter={int(iters_l.n_iter[0])}")
+
+  fwd = jax.jit(lambda c: rasterize_tiles_flat(
+      c, iters_l, mapping, config, f, compute_visibility=False))
+  (tiled, _, satiters), ms = timeit(fwd, combined, iters=args.iters)
+  print(f"raster fwd kernel: {ms:.2f} ms")
   if args.check:
     finite("raster fwd", tiled)
 
-  f = g.feature.shape[1]
-  f_pad = round_up(f + 1, 8)
+  f_pad = feat_rows(f)
   t_tiles = tiled.shape[0]
   p_px = tiled.shape[2]
   key = jax.random.PRNGKey(3)
-  grad_padded = jnp.concatenate([
-      jax.random.normal(key, (t_tiles, f + 1, p_px), jnp.float32),
-      jnp.zeros((t_tiles, f_pad - f - 1, p_px), jnp.float32)], axis=1)
-  img_padded = jnp.concatenate(
-      [tiled, jnp.zeros((t_tiles, f_pad - f - 1, p_px), jnp.float32)],
-      axis=1)
-  e_tiles = jnp.sum(img_padded * grad_padded, axis=1)[..., None]
+  g_tiled = jax.random.normal(key, (t_tiles, f + 1, p_px), jnp.float32)
 
-  f_rows = g.feature.shape[1]
-  gout, ms = timeit(
-      lambda a, b, c: raster_backward_pallas(a, b, c, mapping, f=f_rows,
-                                             config=config,
-                                             satchunks=satchunks),
-      gathered, grad_padded, e_tiles, iters=args.iters)
-  print(f"raster bwd kernel: {ms:.2f} ms")
+  @jax.jit
+  def bwd(combined, g_tiled, tiled):
+    e_row = jnp.sum(tiled[:, :f + 1] * g_tiled, axis=1, keepdims=True)
+    grad_padded = jnp.concatenate(
+        [g_tiled, e_row,
+         jnp.zeros((t_tiles, f_pad - f - 2, p_px), jnp.float32)], axis=1)
+    return raster_backward_pallas(
+        combined, iters_l, grad_padded, mapping, f=f, config=config,
+        compute_point_heuristic=False, satiters=satiters)
 
-  # mirror the real backward reduction (function.py)
-  from taichi_gaussian_rasterizer_tpu.ops.raster.backward import (
-      live_grad_rows)
-  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
-      reduce_packed_slots_by_point)
-  live = live_grad_rows(f_rows, False)
+  gout, ms = timeit(bwd, combined, g_tiled, tiled, iters=args.iters)
+  print(f"raster bwd kernel (incl E/pad prep): {ms:.2f} ms")
+
+  live = live_grad_rows(f, False)
   if gout.dtype == jnp.uint32:
     sel = gout[:(live + 1) // 2]
     red = jax.jit(lambda s: reduce_packed_slots_by_point(s, mapping, live))
@@ -140,58 +144,3 @@ def main():
 
 if __name__ == "__main__":
   main()
-
-
-def profile_extras(args=None):
-  """Extra measurements: projection backward, reduction internals."""
-  import argparse
-  p = argparse.ArgumentParser()
-  p.add_argument("--n", type=int, default=1_000_000)
-  p.add_argument("--size", type=int, default=2048)
-  args = p.parse_args()
-
-  from taichi_gaussian_rasterizer_tpu import (RasterConfig, map_to_tiles,
-                                              project_to_image)
-  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
-      random_camera, random_3d_gaussians)
-  from functools import partial
-
-  n = args.n
-  image_size = (args.size, args.size * 3 // 4)
-  config = RasterConfig(tile_size=16, points_per_chunk=128)
-  camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
-  g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
-
-  @jax.jit
-  def proj_bwd(g, ct):
-    def f(g):
-      pts, depth, _ = project_to_image(g, camera, config)
-      return jnp.vdot(pts, ct[0]) + jnp.vdot(depth, ct[1])
-    return jax.grad(f)(g)
-
-  ct = (jax.random.normal(jax.random.PRNGKey(2), (n, 7)),
-        jax.random.normal(jax.random.PRNGKey(3), (n, 1)))
-  _, ms = timeit(proj_bwd, g, ct)
-  print(f"projection fwd+bwd: {ms:.2f} ms")
-
-  pts, depth, _ = jax.jit(partial(project_to_image, config=config))(g, camera)
-  mapping = map_to_tiles(pts, depth[:, 0], image_size, config,
-                         capacity=3 * n)
-  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
-      reduce_slots_by_point)
-  k_pad = mapping.overlap_to_point.shape[0]
-  slots = jax.random.normal(jax.random.PRNGKey(4), (16, k_pad))
-
-  sort_fn = jax.jit(lambda s: jax.lax.sort(
-      (mapping.overlap_to_point,) + tuple(s[i] for i in range(s.shape[0])),
-      num_keys=1))
-  _, ms = timeit(sort_fn, slots)
-  print(f"reduction: payload sort ({k_pad/1e6:.1f}M x {slots.shape[0]}): "
-        f"{ms:.2f} ms")
-  red = jax.jit(lambda s: reduce_slots_by_point(s, mapping))
-  _, ms = timeit(red, slots)
-  print(f"reduction total: {ms:.2f} ms")
-
-
-if __name__ == "__main__" and __import__("sys").argv[0].endswith("nothing"):
-  pass

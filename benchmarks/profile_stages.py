@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from taichi_gaussian_rasterizer_tpu.utils import runtime
+
+runtime.init()  # persistent compile cache
+
 
 def timeit(fn, *args, iters=5):
   r = fn(*args)

@@ -395,18 +395,22 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       key_parts = [(jnp.zeros((0,), jnp.int32),
                     jnp.zeros((0,), points.dtype))]
 
+  # is_stable=False: measured 10.3 -> 7.6 ms (u32 key + payload, 3.06M) /
+  # 12.8 -> 11.4 ms (2-key) on TPU v5e. Candidates with identical
+  # (tile, depth) keys may blend in arbitrary order — exactly the
+  # reference's semantics (radix_sort_pairs on equal keys).
   cand_pos = jnp.concatenate(pv_parts)       # original point index or n
   if use_depth16:
     packed = jnp.concatenate(key_parts)
     packed, cand_pos = jax.lax.sort((packed, cand_pos), num_keys=1,
-                                    is_stable=True)
+                                    is_stable=False)
     sorted_tiles = jnp.where(packed >= jnp.uint32(0xFFFF0000), TILE_SENTINEL,
                              (packed >> 16).astype(jnp.int32))
   else:
     cand_tiles = jnp.concatenate([k[0] for k in key_parts])
     cand_depth = jnp.concatenate([k[1] for k in key_parts])
     sorted_tiles, _, cand_pos = jax.lax.sort(
-        (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=True)
+        (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=False)
 
   # ---- per-tile ranges in the sorted candidate stream ----
   # bins abut, so one search over T+1 queries yields starts AND ends:

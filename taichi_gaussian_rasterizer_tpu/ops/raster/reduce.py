@@ -34,7 +34,10 @@ def cdiv(a, b):
   return -(-a // b)
 
 
-def _segment_sum_kernel(r: int, g: int, packed: bool = False):
+def _segment_sum_kernel(r: int, g: int, gi: int, packed: bool = False):
+  # g: output block width (points per grid step); gi: input chunk width.
+  # gi > g amortizes the per-iteration DMA + matmul cost: a block's input
+  # range (avg ~3 slots/point = ~3g) is covered by ~cdiv(3g, gi) chunks.
   def kernel(block_off_ref,                  # scalar prefetch (W+1,)
              keys_hbm, vals_hbm,             # (1, K) i32, (R, K)
              out_ref,                        # (R, 128) block of (R, W*128)
@@ -44,20 +47,20 @@ def _segment_sum_kernel(r: int, g: int, packed: bool = False):
     dtype = out_ref.dtype
     start = block_off_ref[w]
     end = block_off_ref[w + 1]
-    fstart = (start // g) * g
-    nch = jnp.where(end > start, cdiv(end - fstart, g), 0)
+    fstart = (start // gi) * gi
+    nch = jnp.where(end > start, cdiv(end - fstart, gi), 0)
     k_total = keys_hbm.shape[1]
     base = w * g   # == w * 128: output block covers keys [base, base+128)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gi), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (g, gi), 0)
     two = jnp.asarray(2, jnp.int32)
 
     def dma(c, slot):
-      off = pl.multiple_of(jnp.minimum(fstart + c * g, k_total - g), g)
-      return (pltpu.make_async_copy(keys_hbm.at[:, pl.ds(off, g)],
+      off = pl.multiple_of(jnp.minimum(fstart + c * gi, k_total - gi), gi)
+      return (pltpu.make_async_copy(keys_hbm.at[:, pl.ds(off, gi)],
                                     keys_vmem.at[slot], sem_k.at[slot]),
-              pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, g)],
+              pltpu.make_async_copy(vals_hbm.at[:, pl.ds(off, gi)],
                                     vals_vmem.at[slot], sem_v.at[slot]))
 
     @pl.when(nch > 0)
@@ -76,15 +79,15 @@ def _segment_sum_kernel(r: int, g: int, packed: bool = False):
       for cp in dma(c, slot):
         cp.wait()
 
-      keys = keys_vmem[slot]                 # (1, G)
-      vals = vals_vmem[slot]                 # (R, G)
+      keys = keys_vmem[slot]                 # (1, GI)
+      vals = vals_vmem[slot]                 # (R, GI)
       # the DMA offset clamps at the buffer end, so mask by the slot's
       # true position: count each slot exactly once, within this chunk's
       # nominal range intersected with the block's input range
-      off = jnp.minimum(fstart + c * g, k_total - g)
+      off = jnp.minimum(fstart + c * gi, k_total - gi)
       s_idx = off + lane
-      lo = jnp.maximum(start, fstart + c * g)
-      hi = jnp.minimum(end, fstart + (c + 1) * g)
+      lo = jnp.maximum(start, fstart + c * gi)
+      hi = jnp.minimum(end, fstart + (c + 1) * gi)
       mask = (s_idx >= lo) & (s_idx < hi)
 
       local = keys - base                    # (1, G) in [0, 128) if live
@@ -149,11 +152,16 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
   """
   r, k = values.shape
   g = 128
-  if k % g != 0:
-    # the kernel DMAs 128-lane chunks; pad sentinels (key n, zero values)
+  # 512-lane input chunks: ~2.3x fewer kernel iterations/DMAs than 128
+  # (a 128-point output block consumes ~3 slots/point; adjacent blocks
+  # re-reading an overlapping 512-chunk costs less than the per-iteration
+  # fixed cost of 4x as many 128-chunks)
+  gi = 512
+  if k % gi != 0 or k < gi:
+    # the kernel DMAs gi-lane chunks; pad sentinels (key n, zero values)
     # here so every caller sees the same contract (production K from the
-    # mapper is already chunk-aligned — this covers tiny test capacities)
-    k_pad = cdiv(max(k, 1), g) * g
+    # mapper is chunk-aligned but not necessarily gi-aligned)
+    k_pad = cdiv(max(k, 1), gi) * gi
     keys = jnp.concatenate([keys, jnp.full((k_pad - k,), n, jnp.int32)])
     values = jnp.concatenate(
         [values, jnp.zeros((r, k_pad - k), values.dtype)], axis=1)
@@ -183,15 +191,15 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
       out_specs=pl.BlockSpec((2 * r_pad if packed else r_pad, g),
                              lambda i, *_: (0, i)),
       scratch_shapes=[
-          pltpu.VMEM((2, 1, g), jnp.int32),
-          pltpu.VMEM((2, r_pad, g), values.dtype),
+          pltpu.VMEM((2, 1, gi), jnp.int32),
+          pltpu.VMEM((2, r_pad, gi), values.dtype),
           pltpu.SemaphoreType.DMA((2,)),
           pltpu.SemaphoreType.DMA((2,)),
       ],
   )
 
   out = pl.pallas_call(
-      _segment_sum_kernel(r_pad, g, packed=packed),
+      _segment_sum_kernel(r_pad, g, gi, packed=packed),
       grid_spec=grid_spec,
       out_shape=jax.ShapeDtypeStruct(
           (2 * r_pad if packed else r_pad, w * g), out_dtype),

@@ -49,7 +49,7 @@ def main():
   probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
                            capacity=6 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
-  capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
+  capacity = int((int(total * 1.0625) + 1023) // 1024 * 1024)
   print(f"overlaps={total} capacity={capacity}")
 
   @jax.jit

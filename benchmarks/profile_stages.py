@@ -89,7 +89,7 @@ def main():
     probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
                              capacity=capacity, emit_tails=emit_tails)
     total = int(probe_map.total_overlaps)
-    capacity = int((int(total * 1.2) + 1023) // 1024 * 1024)
+    capacity = int((int(total * 1.0625) + 1023) // 1024 * 1024)
     print(f"emit_tails: {emit_tails}  capacity: {capacity}")
   mapper = jax.jit(partial(map_to_tiles, image_size=image_size,
                            config=config, capacity=capacity,

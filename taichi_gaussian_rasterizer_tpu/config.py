@@ -77,5 +77,13 @@ class RasterConfig:
   # diagnosing convergence issues (f64 paths are always exact).
   exact_slot_gradients: bool = False
 
+  # In f32 with 3-4 feature channels the per-slot gather table packs
+  # feature pairs as bf16 halves of one f32 row, landing the gather on
+  # the measured 8-row sweet spot (6.1 vs 7.6 ns/idx — PERF.md). Costs
+  # ~2^-9 relative on rendered feature values (geometry and gradients
+  # stay full precision; 8-bit displays quantize 4x coarser). Set True
+  # to keep full-f32 features (f64 paths are always exact).
+  exact_features: bool = False
+
   def replace(self, **kwargs) -> "RasterConfig":
     return replace(self, **kwargs)

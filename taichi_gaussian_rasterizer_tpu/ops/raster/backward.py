@@ -244,21 +244,28 @@ def _backward_kernel(config: RasterConfig, f: int,
                   col(d_pdf * d_sy),
                   col(ag.dL_da_raw * pdf)]
         else:
-          # moment-based reduction (verified against the full-field
-          # formulation; u = tu/sx, v = tv/sy, d = pixel - mean):
-          # col(B*dx) etc. expand via dx = px - mean_x into the moments.
+          # moment-based reduction in CONIC form (round-3b layout; see
+          # flat.py): log a = log_pa - d^T Q d / 2, so the per-slot
+          # transport gradients are simple central moments of
+          # B = dL/da_raw * a_raw (d = pixel - mean):
+          #   d log a/d mean = Q d        -> rows Q [bdx; bdy]
+          #   d log a/d qa   = -dx^2 / 2  -> row -bdxx / 2
+          #   d log a/d qb   = -dx dy     -> row -bdxy
+          #   d log a/d qc   = -dy^2 / 2  -> row -bdyy / 2
+          #   d log a/d logpa = 1         -> row m0
+          # function.py chains (Q, log_pa) gradients to the packed
+          # (axis, sigma, alpha) form per POINT after the reduction.
           B = ag.dL_da_raw * a_raw                      # (P, G)
           mom = blend.dot_split(
               mmat, B, (((1,), (0,)), ((), ())), passes=3)     # (6, G)
           m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
           mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
 
-          mxl = blend.point_row(pts, blend.MEAN_X)      # tile-local
-          myl = blend.point_row(pts, blend.MEAN_Y)
-          axr = blend.point_row(pts, blend.AXIS_X)
-          ayr = blend.point_row(pts, blend.AXIS_Y)
-          sxr = blend.point_row(pts, blend.SIGMA_X)
-          syr = blend.point_row(pts, blend.SIGMA_Y)
+          mxl = blend.point_row(pts, 0)                 # tile-local mean
+          myl = blend.point_row(pts, 1)
+          qa = blend.point_row(pts, 2)
+          qb = blend.point_row(pts, 3)
+          qc = blend.point_row(pts, 4)
 
           bdx = mx1 - mxl * m0                          # col(B * dx)
           bdy = my1 - myl * m0
@@ -266,28 +273,13 @@ def _backward_kernel(config: RasterConfig, f: int,
           bdyy = myy - 2 * myl * my1 + myl * myl * m0
           bdxy = mxy - mxl * my1 - myl * mx1 + mxl * myl * m0
 
-          isx2 = 1.0 / (sxr * sxr)
-          isy2 = 1.0 / (syr * syr)
-          bus = (axr * bdx + ayr * bdy) * isx2          # col(B * u / sx)
-          bvs = (axr * bdy - ayr * bdx) * isy2          # col(B * v / sy)
-          btutu = (axr * axr * bdxx + 2 * axr * ayr * bdxy
-                   + ayr * ayr * bdyy)                  # col(B * tu^2)
-          btvtv = (axr * axr * bdyy - 2 * axr * ayr * bdxy
-                   + ayr * ayr * bdxx)
-          btudx = axr * bdxx + ayr * bdxy               # col(B * tu * dx)
-          btudy = axr * bdxy + ayr * bdyy
-          btvdx = axr * bdxy - ayr * bdxx
-          btvdy = axr * bdyy - ayr * bdxy
-
-          # alpha row: col(dL_da_raw * pdf) = col(B) / pa = m0 / pa
-          pa_r = blend.point_row(pts, blend.ALPHA)
-          rows = [axr * bus - ayr * bvs,
-                  ayr * bus + axr * bvs,
-                  -(btudx * isx2 + btvdy * isy2),
-                  -(btudy * isx2 - btvdx * isy2),
-                  btutu * isx2 / sxr,
-                  btvtv * isy2 / syr,
-                  jnp.where(pa_r > 0, m0 / pa_r, 0.0)]
+          rows = [qa * bdx + qb * bdy,                  # d/d mean_x
+                  qb * bdx + qc * bdy,                  # d/d mean_y
+                  -0.5 * bdxx,                          # d/d qa
+                  -bdxy,                                # d/d qb
+                  -0.5 * bdyy,                          # d/d qc
+                  m0,                                   # d/d log_pa
+                  jnp.zeros((1, g), dtype)]             # spare (layout)
 
         if compute_point_heuristic:
           # reference backward.py:194-198: per pixel aag = point_alpha *
@@ -298,13 +290,14 @@ def _backward_kernel(config: RasterConfig, f: int,
             rows.append(col(aag * aag))
             rows.append(col(jnp.abs(aag * d_mx) + jnp.abs(aag * d_my)))
           else:
-            dx = px - blend.point_row(pts, blend.MEAN_X)
-            dy = py - blend.point_row(pts, blend.MEAN_Y)
-            tu = dx * axr + dy * ayr
-            tv = dy * axr - dx * ayr
-            qx = tu * (isx2 * axr) - tv * (isy2 * ayr)
-            qy = tu * (isx2 * ayr) + tv * (isy2 * axr)
-            rows.append((pa_r * pa_r) * col(ag.dL_da_raw * ag.dL_da_raw))
+            # prune cost transports col(dL_da^2); the per-point pa^2
+            # factor is applied after the reduction (function.py) —
+            # pa is not in the conic point rows
+            dx = px - mxl
+            dy = py - myl
+            qx = qa * dx + qb * dy                      # (Q d)_x
+            qy = qb * dx + qc * dy
+            rows.append(col(ag.dL_da_raw * ag.dL_da_raw))
             rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
 
         # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]

@@ -23,6 +23,16 @@ step iterating a precomputed flat list of (tile, chunk) pairs:
   (build_combined): tile-local per slot, so the kernels need no origin
   handling and no per-chunk coefficient row math.
 
+Round-3b gather layout: the per-point live table is CONIC-form —
+[mean(2), inverse-covariance (qa, qb, qc), log-alpha] plus the feature
+channels, with 3-4 f32 features packed pairwise as bf16 halves of one
+f32 row (bit-preserving through the gather). Conic form carries the
+same information as the packed eigen form in 6 rows instead of 7, so
+the standard RGB case gathers EXACTLY 8 rows — the measured XLA-gather
+sweet spot (6.1 vs 7.6 ns/idx at 3M indices, PERF.md). The antialias
+pdf needs the eigen basis itself, so antialias configs keep the
+axis-form table.
+
 Replaces the shared-memory staging + per-tile thread blocks of the
 reference kernels (/root/reference/taichi_splatting/rasterizer/
 forward.py:45-66, backward.py:30-44) with a structure shaped by TPU DMA
@@ -93,8 +103,14 @@ def build_iteration_list(mapping: TileMapping, g: int) -> IterationList:
 
 # Combined per-slot buffer row layout (see build_combined):
 COEFF_ROWS = slice(0, 8)    # [cxx, cyy, cxy, cx, cy, c0, 0, 0]
-POINT_ROWS = slice(8, 16)   # [mx_local, my_local, ax, ay, sx, sy, alpha, 0]
+POINT_ROWS = slice(8, 16)   # non-antialias (conic):
+                            #   [mx_local, my_local, qa, qb, qc, 0, 0, 0]
+                            # antialias (eigen):
+                            #   [mx_local, my_local, ax, ay, sx, sy, alpha, 0]
 FEAT_ROW0 = 16              # then F features, the ones row, zero padding
+
+# conic POINT_ROWS indices (non-antialias)
+QA, QB, QC = 2, 3, 4
 
 
 def feat_rows(f: int) -> int:
@@ -108,30 +124,64 @@ def combined_rows(f: int) -> int:
   return FEAT_ROW0 + feat_rows(f)
 
 
-def quad_coeffs_rows(mx, my, ax, ay, sx, sy, alpha, dtype):
-  """Per-slot quadratic-form coefficients of log(alpha * pdf), on flat
-  1-D columns (same math as blend.quad_coeffs; means already
-  tile-local). Returns a list of 6 arrays [cxx, cyy, cxy, cx, cy, c0].
-  """
-  isx = 1.0 / sx
-  isy = 1.0 / sy
-  du = mx * ax + my * ay
-  dv = my * ax - mx * ay
-  axx = ax * isx
-  ayx = ay * isx
-  ayy = ax * isy
-  axy = ay * isy
-  dux = du * isx
-  dvy = dv * isy
-
-  cxx = -0.5 * (axx * axx + axy * axy)
-  cyy = -0.5 * (ayx * ayx + ayy * ayy)
-  cxy = -(axx * ayx - axy * ayy)
-  cx = axx * dux - axy * dvy
-  cy = ayx * dux + ayy * dvy
+def conic_rows(points: jax.Array):
+  """Packed eigen-form (N, 7) columns -> conic per-point rows
+  [mx, my, qa, qb, qc, log_alpha]: Q = R diag(sx, sy)^-2 R^T is the
+  inverse image-space covariance, so u^2 + v^2 = d^T Q d and
+  log(alpha * pdf) = log_alpha - d^T Q d / 2."""
+  mx, my = points[:, 0], points[:, 1]
+  ax, ay = points[:, 2], points[:, 3]
+  sx, sy = points[:, 4], points[:, 5]
+  alpha = points[:, 6]
+  isx2 = 1.0 / (sx * sx)
+  isy2 = 1.0 / (sy * sy)
+  qa = ax * ax * isx2 + ay * ay * isy2
+  qb = ax * ay * (isx2 - isy2)
+  qc = ay * ay * isx2 + ax * ax * isy2
   log_pa = jnp.maximum(jnp.log(jnp.maximum(alpha, 0.0)),
-                       jnp.asarray(blend.LOG_ALPHA_FLOOR, dtype))
-  c0 = log_pa - 0.5 * (dux * dux + dvy * dvy)
+                       jnp.asarray(blend.LOG_ALPHA_FLOOR, points.dtype))
+  return [mx, my, qa, qb, qc, log_pa]
+
+
+def _pack_feature_pairs(features: jax.Array) -> jax.Array:
+  """(N, F) f32 -> (N, ceil(F/2)) f32 rows holding bf16 pairs
+  (bit-preserving through gathers; unpacked in build_combined)."""
+  n, f = features.shape
+  if f % 2:
+    features = jnp.concatenate(
+        [features, jnp.zeros((n, 1), features.dtype)], axis=1)
+
+  def b16(x):
+    y = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return jax.lax.bitcast_convert_type(y, jnp.uint32) >> 16
+
+  hi = b16(features[:, 0::2])
+  lo = b16(features[:, 1::2])
+  return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+
+def _unpack_feature_pairs(packed: jax.Array, f: int):
+  """(P_pairs, K) f32 bf16-pair rows -> list of F (K,) f32 rows."""
+  bits = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+  rows = []
+  for i in range(f):
+    half = bits[i // 2] & jnp.uint32(0xFFFF0000) if i % 2 == 0 \
+        else bits[i // 2] << 16
+    rows.append(jax.lax.bitcast_convert_type(half, jnp.float32))
+  return rows
+
+
+def quad_coeffs_from_conic(mxl, myl, qa, qb, qc, log_pa):
+  """Tile-local quadratic-form coefficient rows of log(alpha * pdf)
+  from conic per-slot columns: log a = log_pa - d^T Q d / 2 expanded
+  over the pixel monomials [px^2, py^2, px*py, px, py, 1]."""
+  cxx = -0.5 * qa
+  cyy = -0.5 * qc
+  cxy = -qb
+  cx = qa * mxl + qb * myl
+  cy = qb * mxl + qc * myl
+  c0 = log_pa - 0.5 * (qa * mxl * mxl + 2 * qb * mxl * myl
+                       + qc * myl * myl)
   return [cxx, cyy, cxy, cx, cy, c0]
 
 
@@ -139,21 +189,24 @@ def build_combined(points: jax.Array, features: jax.Array,
                    mapping: TileMapping, config: RasterConfig) -> jax.Array:
   """Bin-ordered per-slot buffer (combined_rows(F), K_cap).
 
-  One gather of the 7 + F live per-point rows by overlap_to_point (the
-  only random access; ~6 ns/idx, flat in width up to 8 rows — PERF.md),
-  then one fused elementwise pass derives the per-slot rows:
+  One gather of the live per-point rows by overlap_to_point (the only
+  random access; ~6 ns/idx at <= 8 rows — PERF.md), then one fused
+  elementwise pass derives the per-slot rows:
 
   * rows 0-7: quadratic-form coefficients of log(alpha * pdf) in the
     slot's TILE-LOCAL pixel frame — the kernels evaluate the whole
     (P, G) alpha field as one (P, 8) x (8, G) matmul with no origin
-    handling (non-antialias path).
-  * rows 8-15: tile-local point rows [mx, my, ax, ay, sx, sy, alpha, 0]
-    for the backward's moment reduction and the antialias pdf.
+    handling (non-antialias path; zeros for antialias).
+  * rows 8-15: tile-local point rows (POINT_ROWS layout above) for the
+    backward's moment reduction / the antialias pdf.
   * rows 16+: F features, the all-ones virtual alpha channel, padding.
 
-  Sentinel slots (point index N) gather the harmless padding column
-  (alpha 0 -> c0 at the log floor, unit axis/sigma), so they are exact
-  no-ops in the blend.
+  Non-antialias gathers the 6-row conic table (+ packed feature rows:
+  EXACTLY 8 gathered rows for RGB, the measured gather sweet spot);
+  antialias gathers the 7-row eigen table + plain features. Sentinel
+  slots (point index N) gather the harmless padding column (log-alpha
+  at the floor -> exactly-zero alpha), so they are exact no-ops in the
+  blend.
   """
   n, f = features.shape
   dtype = points.dtype
@@ -162,27 +215,61 @@ def build_combined(points: jax.Array, features: jax.Array,
   f_pad = feat_rows(f)
   k_cap = mapping.overlap_to_point.shape[0]
 
-  pad7 = jnp.asarray([[0, 0, 1, 0, 1, 1, 0]], dtype)
-  live = jnp.concatenate([
-      jnp.concatenate([points, pad7], axis=0),               # (N+1, 7)
-      jnp.concatenate([features, jnp.zeros((1, f), dtype)], axis=0),
-  ], axis=1).T                                               # (7+F, N+1)
-  gath = jnp.take(live, mapping.overlap_to_point, axis=1)    # (7+F, K)
-
   tl = jnp.minimum(mapping.overlap_to_tile, th * tw - 1)
   ox = ((tl % tw) * ts).astype(dtype)
   oy = ((tl // tw) * ts).astype(dtype)
-
-  mx = gath[0] - ox
-  my = gath[1] - oy
-  ax, ay, sx, sy, alpha = gath[2], gath[3], gath[4], gath[5], gath[6]
-
-  coeffs = quad_coeffs_rows(mx, my, ax, ay, sx, sy, alpha, dtype)
   zero = jnp.zeros((k_cap,), dtype)
   ones = jnp.ones((k_cap,), dtype)
-  rows = coeffs + [zero, zero]                               # 8 coeff rows
-  rows += [mx, my, ax, ay, sx, sy, alpha, zero]              # 8 point rows
-  rows += [gath[7 + i] for i in range(f)]                    # F features
+
+  # pack feature pairs only where it buys the 8-row gather cliff:
+  # f32, 3-4 channels (6 + ceil(F/2) <= 8; F <= 2 fits unpacked, F >= 5
+  # exceeds 8 rows either way — depth channels keep full precision)
+  pack = (dtype == jnp.float32 and not config.antialias
+          and not config.exact_features and 2 < f <= 4)
+
+  if config.antialias:
+    pad7 = jnp.asarray([[0, 0, 1, 0, 1, 1, 0]], dtype)
+    live = jnp.concatenate([
+        jnp.concatenate([points, pad7], axis=0),             # (N+1, 7)
+        jnp.concatenate([features, jnp.zeros((1, f), dtype)], axis=0),
+    ], axis=1).T                                             # (7+F, N+1)
+    gath = jnp.take(live, mapping.overlap_to_point, axis=1)  # (7+F, K)
+
+    mxl = gath[0] - ox
+    myl = gath[1] - oy
+    # the antialias kernels evaluate the pdf from the point rows; the
+    # coefficient block is unused (zeros)
+    rows = [zero] * 8
+    rows += [mxl, myl, gath[2], gath[3], gath[4], gath[5], gath[6], zero]
+    feat_cols = [gath[7 + i] for i in range(f)]
+  else:
+    conic = jnp.stack(conic_rows(points), axis=1)            # (N, 6)
+    pad6 = jnp.asarray(
+        [[0, 0, 1, 0, 1, blend.LOG_ALPHA_FLOOR]], dtype)
+    table = jnp.concatenate([conic, pad6], axis=0)           # (N+1, 6)
+    if pack:
+      fp = _pack_feature_pairs(features)                     # (N, P_pairs)
+      fp = jnp.concatenate([fp, jnp.zeros((1, fp.shape[1]), dtype)], axis=0)
+      table = jnp.concatenate([table, fp], axis=1)
+    else:
+      table = jnp.concatenate(
+          [table,
+           jnp.concatenate([features, jnp.zeros((1, f), dtype)], axis=0)],
+          axis=1)
+    gath = jnp.take(table.T, mapping.overlap_to_point, axis=1)
+
+    mxl = gath[0] - ox
+    myl = gath[1] - oy
+    qa, qb, qc, log_pa = gath[2], gath[3], gath[4], gath[5]
+    rows = quad_coeffs_from_conic(mxl, myl, qa, qb, qc, log_pa)
+    rows += [zero, zero]                                     # 8 coeff rows
+    rows += [mxl, myl, qa, qb, qc, zero, zero, zero]         # point rows
+    if pack:
+      feat_cols = _unpack_feature_pairs(gath[6:], f)
+    else:
+      feat_cols = [gath[6 + i] for i in range(f)]
+
+  rows += feat_cols                                          # F features
   rows += [ones]                                             # virtual alpha
   rows += [zero] * (f_pad - f - 1)  # incl. the E-row zero (feat_rows)
   return jnp.stack(rows, axis=0)                             # (R_in, K_cap)

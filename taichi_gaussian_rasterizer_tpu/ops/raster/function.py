@@ -121,13 +121,14 @@ def _raster_core_fwd(config, compute_visibility, points, features,
   # the forward's own build): its gather costs ~6 ns/idx on TPU, so
   # re-gathering in the backward would be a large fraction of the whole
   # backward pass. satiters lets the backward skip saturated chunks.
+  # `points` rides along for the per-point conic -> packed chain rule.
   combined, iters, tiled, vis, satiters = _forward_impl(
       config, compute_visibility, points, features, mapping)
-  return (tiled, vis), (combined, iters, tiled, satiters, mapping)
+  return (tiled, vis), (combined, iters, tiled, satiters, mapping, points)
 
 
 def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
-  combined, iters, tiled, satiters, mapping = residuals
+  combined, iters, tiled, satiters, mapping, points = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
   n = mapping.point_sentinel
@@ -161,9 +162,41 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
   else:
     per_point = reduce_slots_by_point(gout[:live], mapping)
 
-  grad_points = per_point[:, :7]
+  if config.antialias:
+    # eigen-form transport: rows are already packed-format gradients
+    grad_points = per_point[:, :7]
+    prune_scale = 1.0
+  else:
+    # conic transport (backward.py): rows are gradients w.r.t.
+    # (mean, qa, qb, qc, log_pa); chain to the packed
+    # (mean, axis, sigma, alpha) form per POINT (cheap N-flat math —
+    # this is what lets the gather table carry 6 geometry rows)
+    ax, ay = points[:, 2], points[:, 3]
+    sx, sy = points[:, 4], points[:, 5]
+    pa = points[:, 6]
+    gmx, gmy = per_point[:, 0], per_point[:, 1]
+    gqa, gqb, gqc = per_point[:, 2], per_point[:, 3], per_point[:, 4]
+    glogpa = per_point[:, 5]
+    isx2 = 1.0 / (sx * sx)
+    isy2 = 1.0 / (sy * sy)
+    d_ax = 2 * ax * isx2 * gqa + ay * (isx2 - isy2) * gqb \
+        + 2 * ax * isy2 * gqc
+    d_ay = 2 * ay * isy2 * gqa + ax * (isx2 - isy2) * gqb \
+        + 2 * ay * isx2 * gqc
+    d_sx = (-2.0 * isx2 / sx) * (gqa * ax * ax + gqb * ax * ay
+                                 + gqc * ay * ay)
+    d_sy = (-2.0 * isy2 / sy) * (gqa * ay * ay - gqb * ax * ay
+                                 + gqc * ax * ax)
+    d_alpha = jnp.where(pa > 0, glogpa / jnp.where(pa > 0, pa, 1), 0)
+    grad_points = jnp.stack(
+        [gmx, gmy, d_ax, d_ay, d_sx, d_sy, d_alpha], axis=1)
+    # the conic backward transports col(dL_da^2); prune cost carries the
+    # per-point pa^2 factor (reference backward.py:194-198)
+    prune_scale = pa * pa
+
   if compute_heuristic:
-    heuristic = per_point[:, 7:9]
+    heuristic = jnp.stack(
+        [per_point[:, 7] * prune_scale, per_point[:, 8]], axis=1)
     gf = per_point[:, 9:9 + f]
   else:
     heuristic = jnp.zeros((n, 2), dtype)

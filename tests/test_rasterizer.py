@@ -244,31 +244,63 @@ def test_backward_saturation_skip_exact():
                                rtol=1e-7, atol=1e-9)
 
 
-def test_f32_packed_gradients_close_to_xla():
-  """In f32 the backward packs slot-gradient rows as bf16 pairs
-  (transport quantization); per-point sums must match the XLA autodiff
-  gradients to bf16-level relative tolerance."""
+def _f32_truth_scene():
+  """f32 scene + f64 ground-truth gradients (the f32 XLA fallback is
+  itself ~2e-2 noisy at f32 — axis-gradient cancellation — so f32
+  accuracy must be judged against the f64 truth, not against it)."""
   image_size = (64, 48)
-  config = RasterConfig(tile_size=8, points_per_chunk=8)
   points, depth, feats = scene(0, 80, image_size)
-  points = points.astype(jnp.float32)
-  depth = depth.astype(jnp.float32)
-  feats = feats.astype(jnp.float32)
-  mapping = map_to_tiles(points, depth, image_size, config)
-  g_img = jax.random.normal(jax.random.PRNGKey(7), (48, 64, 3), jnp.float32)
+  g_img64 = jax.random.normal(jax.random.PRNGKey(7), (48, 64, 3),
+                              jnp.float64)
 
-  def loss(pts, f, impl):
-    out = rasterize_with_tiles(pts, f, mapping, image_size, config,
-                               impl=impl, max_points_per_tile=128)
+  config64 = RasterConfig(tile_size=8, points_per_chunk=8)
+  mapping64 = map_to_tiles(points, depth, image_size, config64)
+
+  def loss64(pts, f):
+    out = rasterize_with_tiles(pts, f, mapping64, image_size, config64)
+    return jnp.sum(out.image * g_img64)
+
+  gp_t, gf_t = jax.grad(loss64, argnums=(0, 1))(points, feats)
+  return (image_size, points.astype(jnp.float32),
+          depth.astype(jnp.float32), feats.astype(jnp.float32),
+          g_img64.astype(jnp.float32),
+          np.asarray(gp_t, np.float32), np.asarray(gf_t, np.float32))
+
+
+def _f32_grads(config, image_size, points, depth, feats, g_img):
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  def loss(pts, f):
+    out = rasterize_with_tiles(pts, f, mapping, image_size, config)
     return jnp.sum(out.image * g_img)
 
-  gp_p, gf_p = jax.grad(lambda p, f: loss(p, f, "pallas"),
-                        argnums=(0, 1))(points, feats)
-  gp_x, gf_x = jax.grad(lambda p, f: loss(p, f, "xla"),
-                        argnums=(0, 1))(points, feats)
-  rel = lambda a, b: float(jnp.abs(a - b).max() / jnp.abs(b).max())
-  assert rel(gp_p, gp_x) < 2e-2, rel(gp_p, gp_x)
-  assert rel(gf_p, gf_x) < 2e-2, rel(gf_p, gf_x)
+  return jax.grad(loss, argnums=(0, 1))(points, feats)
+
+
+def test_f32_packed_gradients_close_to_truth():
+  """In f32 the backward packs slot-gradient rows as bf16 pairs and the
+  gather table packs feature pairs (transport quantization); per-point
+  sums must stay bf16-grade close to the f64 ground truth."""
+  image_size, points, depth, feats, g_img, gp_t, gf_t = _f32_truth_scene()
+  config = RasterConfig(tile_size=8, points_per_chunk=8)
+  gp, gf = _f32_grads(config, image_size, points, depth, feats, g_img)
+  rel = lambda a, b: float(np.abs(np.asarray(a) - b).max() / np.abs(b).max())
+  assert rel(gp, gp_t) < 2e-2, rel(gp, gp_t)
+  assert rel(gf, gf_t) < 2e-2, rel(gf, gf_t)
+
+
+def test_f32_exact_transport_close_to_truth():
+  """With exact_slot_gradients + exact_features the f32 pallas gradients
+  must track the f64 truth tightly — isolates the conic->packed chain
+  rule from bf16 transport quantization (measured ~2.2e-3, ~9x tighter
+  than the f32 XLA fallback's own error)."""
+  image_size, points, depth, feats, g_img, gp_t, gf_t = _f32_truth_scene()
+  config = RasterConfig(tile_size=8, points_per_chunk=8,
+                        exact_slot_gradients=True, exact_features=True)
+  gp, gf = _f32_grads(config, image_size, points, depth, feats, g_img)
+  rel = lambda a, b: float(np.abs(np.asarray(a) - b).max() / np.abs(b).max())
+  assert rel(gp, gp_t) < 5e-3, rel(gp, gp_t)
+  assert rel(gf, gf_t) < 5e-3, rel(gf, gf_t)
 
 
 def test_saturation_early_exit_exact():

@@ -28,7 +28,10 @@ runtime.init()  # persistent compile cache: later runs compile in seconds
 BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
 
 
-def bench_scene(n, image_size, config, iters=20):
+def bench_scene(n, image_size, config, iters=20, training=False):
+  """training=True benches the trainer's actual frame (BASELINE.json
+  configs #4/#5): compute_visibility + compute_point_heuristic on, the
+  heuristic sink differentiated alongside the gaussians."""
   from taichi_gaussian_rasterizer_tpu import (
       map_to_tiles, probe_emit_tails, project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.utils import morton
@@ -59,8 +62,24 @@ def bench_scene(n, image_size, config, iters=20):
   print(f"n={n}: overlaps={total} -> capacity={capacity} "
         f"emit_tails={emit_tails}", file=sys.stderr)
 
+  if training:
+    config = config.replace(compute_visibility=True,
+                            compute_point_heuristic=True)
+
   @jax.jit
   def train_frame(gaussians, g_image):
+    if training:
+      sink = jnp.zeros((n, 2), jnp.float32)
+
+      def loss(g, s):
+        r = render_gaussians(g, camera, config, capacity=capacity,
+                             emit_tails=emit_tails, heuristic_sink=s)
+        return jnp.vdot(r.image, g_image), r.point_visibility
+
+      (g, heur), vis = jax.grad(loss, argnums=(0, 1), has_aux=True)(
+          gaussians, sink)
+      return g, jnp.sum(g.position) + jnp.sum(heur) + jnp.sum(vis)
+
     def loss(g):
       r = render_gaussians(g, camera, config, capacity=capacity,
                            emit_tails=emit_tails)
@@ -94,9 +113,17 @@ def main():
   image_size = (2048, 1536)
   config = RasterConfig(tile_size=16, points_per_chunk=128)
 
+  ms_6m = bench_scene(6_000_000, image_size, config, iters=5)
+  print(f"6M gaussians: {ms_6m:.2f} ms/frame "
+        f"(baseline: bicycle ~6M at 17.1 ms, RTX 4090)", file=sys.stderr)
+
   ms_3m = bench_scene(3_000_000, image_size, config, iters=10)
-  print(f"3M gaussians: {ms_3m:.2f} ms/frame "
-        f"(baseline bracket: bicycle ~6M at 17.1 ms)", file=sys.stderr)
+  print(f"3M gaussians: {ms_3m:.2f} ms/frame", file=sys.stderr)
+
+  ms_tr = bench_scene(1_000_000, image_size, config, iters=10,
+                      training=True)
+  print(f"1M training mode (visibility + heuristics): {ms_tr:.2f} ms/frame",
+        file=sys.stderr)
 
   ms = bench_scene(1_000_000, image_size, config, iters=20)
   print(json.dumps({

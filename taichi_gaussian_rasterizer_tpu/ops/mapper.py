@@ -452,7 +452,8 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   # raster/function.py — on TPU, carrying values through lax.sort is
   # ~3x cheaper than a point-permutation gather afterwards)
   # accepted counts per original point: invert the bucket permutation
-  counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(accepted_s)
+  counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(
+      accepted_s, unique_indices=True, indices_are_sorted=False)
   point_offsets = jnp.concatenate(
       [jnp.zeros((1,), jnp.int32),
        jnp.cumsum(counts_orig).astype(jnp.int32)])

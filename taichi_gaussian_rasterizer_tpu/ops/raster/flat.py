@@ -86,7 +86,15 @@ def build_iteration_list(mapping: TileMapping, g: int) -> IterationList:
   total = mapping.total_overlaps
 
   joff = jnp.arange(n_chunks, dtype=jnp.int32) * g
-  owner = jnp.searchsorted(starts, joff, side="right").astype(jnp.int32) - 1
+  # owner[j] = last tile whose bin starts at or before j*g. A
+  # searchsorted here lowers to a ~2 ms while-loop per frame; instead
+  # scatter each tile onto the first chunk it can own and take a running
+  # maximum (bins abut, so owners are monotone in the chunk index).
+  first_chunk = jnp.minimum(cdiv(starts, g), n_chunks - 1) if n_chunks \
+      else starts[:0]
+  owner0 = jnp.zeros((max(n_chunks, 1),), jnp.int32).at[first_chunk].max(
+      jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+  owner = jax.lax.cummax(owner0)[:n_chunks]
   a_valid = joff < total
   a_tile = jnp.where(a_valid, owner, n_tiles)
 

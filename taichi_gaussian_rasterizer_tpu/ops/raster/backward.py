@@ -225,9 +225,12 @@ def _backward_kernel(config: RasterConfig, f: int,
 
         # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel via the
         # ones row; padding rows zero on both sides). Gradient-grade
-        # precision: slot gradients are bf16-packed on output anyway.
+        # precision: slot gradients are bf16-packed on output anyway, so
+        # 2 passes (grad split exactly, feats one bf16 pass ~2^-9)
+        # suffice — one MXU pass saved per chunk.
         D = blend.dot_split(
-            grad, feats, (((0,), (0,)), ((), ())), passes=3)   # (P, G)
+            grad, feats, (((0,), (0,)), ((), ())),
+            passes=2 if pack_bf16 else 3)                # (P, G)
 
         ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
 
@@ -256,8 +259,12 @@ def _backward_kernel(config: RasterConfig, f: int,
           # function.py chains (Q, log_pa) gradients to the packed
           # (axis, sigma, alpha) form per POINT after the reduction.
           B = ag.dL_da_raw * a_raw                      # (P, G)
+          # 2 passes: the monomial operand splits EXACTLY into hi+lo
+          # bf16 halves (values like 240.25 need 11 mantissa bits), so
+          # the only loss is one bf16 cast of B (~2^-9, transport-grade)
           mom = blend.dot_split(
-              mmat, B, (((1,), (0,)), ((), ())), passes=3)     # (6, G)
+              mmat, B, (((1,), (0,)), ((), ())),
+              passes=2 if pack_bf16 else 3)                    # (6, G)
           m0, mx1, my1 = mom[0:1], mom[1:2], mom[2:3]
           mxx, mxy, myy = mom[3:4], mom[4:5], mom[5:6]
 
@@ -300,9 +307,12 @@ def _backward_kernel(config: RasterConfig, f: int,
             rows.append(col(ag.dL_da_raw * ag.dL_da_raw))
             rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
 
-        # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g]
+        # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g];
+        # 1 pass — the result is immediately quantized to a bf16 pair,
+        # so extra MXU passes buy precision the output cannot hold
         featg = blend.dot_split(
-            grad, w.weight, (((1,), (0,)), ((), ())), passes=3)  # (F_pad, G)
+            grad, w.weight, (((1,), (0,)), ((), ())),
+            passes=3 if not pack_bf16 else 1)            # (F_pad, G)
         rows.extend(featg[i2:i2 + 1, :] for i2 in range(f))
 
         if pack_bf16:

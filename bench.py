@@ -95,16 +95,17 @@ def bench_scene(n, image_size, config, iters=20, training=False):
   # compile + warmup; validate the run while we're at it
   t0 = time.perf_counter()
   grads, probe = train_frame(gaussians, g_image)
+  compile_s = time.perf_counter() - t0
   assert bool(jnp.isfinite(probe)), "non-finite gradient probe"
   overflow = bool(probe_map.overflow)
-  print(f"n={n}: compile {time.perf_counter() - t0:.1f}s "
+  print(f"n={n}: compile {compile_s:.1f}s "
         f"probe={float(probe):.4g} overflow={overflow}", file=sys.stderr)
 
   t0 = time.perf_counter()
   for _ in range(iters):
     _, probe = train_frame(gaussians, g_image)
   _ = float(probe)  # device->host readback: waits for true completion
-  return (time.perf_counter() - t0) / iters * 1000.0
+  return (time.perf_counter() - t0) / iters * 1000.0, compile_s
 
 
 def main():
@@ -113,24 +114,28 @@ def main():
   image_size = (2048, 1536)
   config = RasterConfig(tile_size=16, points_per_chunk=128)
 
-  ms_6m = bench_scene(6_000_000, image_size, config, iters=5)
+  ms_6m, _ = bench_scene(6_000_000, image_size, config, iters=5)
   print(f"6M gaussians: {ms_6m:.2f} ms/frame "
         f"(baseline: bicycle ~6M at 17.1 ms, RTX 4090)", file=sys.stderr)
 
-  ms_3m = bench_scene(3_000_000, image_size, config, iters=10)
+  ms_3m, _ = bench_scene(3_000_000, image_size, config, iters=10)
   print(f"3M gaussians: {ms_3m:.2f} ms/frame", file=sys.stderr)
 
-  ms_tr = bench_scene(1_000_000, image_size, config, iters=10,
-                      training=True)
+  ms_tr, _ = bench_scene(1_000_000, image_size, config, iters=10,
+                         training=True)
   print(f"1M training mode (visibility + heuristics): {ms_tr:.2f} ms/frame",
         file=sys.stderr)
 
-  ms = bench_scene(1_000_000, image_size, config, iters=20)
+  ms, compile_s = bench_scene(1_000_000, image_size, config, iters=20)
   print(json.dumps({
       "metric": "fwd_bwd_ms_per_frame_2048px_1M_gaussians",
       "value": round(ms, 3),
       "unit": "ms/frame",
       "vs_baseline": round(BASELINE_MS / ms, 4),
+      "compile_s": round(compile_s, 1),
+      "training_mode_ms": round(ms_tr, 3),
+      "ms_3m": round(ms_3m, 3),
+      "ms_6m": round(ms_6m, 3),
   }))
 
 

@@ -22,7 +22,10 @@ tiny scatters) and avoids what is slow (large scatters, narrow gathers):
   alpha gate.)
 * CUB radix_sort_pairs (end_bit=48, tile_mapper.py:154) becomes
   `jax.lax.sort`: lexicographic (tile, depth) 32-bit keys, or a single
-  packed u32 key in depth16 mode (tile_mapper.py:52-64).
+  packed u32 key in depth16 mode (tile_mapper.py:52-64). A hand-rolled
+  Pallas radix/counting binning pass is NOT buildable profitably on this
+  hardware — the reorder scatter has no Mosaic primitive; see PERF.md
+  ("The 'Pallas radix binning' question, closed") for the measurements.
 * Ranges via vectorized `searchsorted` on the sorted tile ids.
 * The overlap list **is** the sorted candidate stream: tile bins abut
   with no padding or relayout (the round-1 chunk-padded layout cost a

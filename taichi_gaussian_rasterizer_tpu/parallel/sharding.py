@@ -2,14 +2,22 @@
 
 The reference is strictly single-GPU/single-process (SURVEY.md §2.10): it
 has no DP/TP/PP/SP/EP and no communication backend. On TPU, scaling
-comes for free from the mesh abstractions; this module provides the two
-axes that make sense for a splatting workload:
+comes for free from the mesh abstractions; this module provides the
+three axes that make sense for a splatting workload:
 
 * **Camera data parallelism** (`dp_train_step`): a batch of cameras is
   sharded over the `data` mesh axis; gaussian parameters are replicated;
   each device renders its local cameras (full fwd+bwd through the Pallas
   kernels) and gradients are `psum`-reduced over ICI before a replicated
   optimizer step. This is the standard multi-view 3DGS training layout.
+* **Tile parallelism** (`tp_rasterize`): ONE frame sharded across the
+  mesh — the image is split into horizontal tile-aligned stripes, each
+  device bins + rasterizes its stripe in a stripe-local coordinate
+  frame (the full mapper + Pallas pipeline per shard), and the image
+  comes back row-sharded with zero collectives in the forward; the
+  backward psums per-point gradients over ICI (shard_map's transpose of
+  the replicated inputs). This is how a single frame scales past one
+  chip's FLOPs.
 * **Point parallelism** (`pp_project`): projection + SH shading sharded
   over the gaussian axis (the per-point stages are embarrassingly
   parallel); results are all-gathered for rasterization. Useful when N
@@ -116,6 +124,70 @@ def dp_train_step(mesh: Mesh,
       device_fn, mesh=mesh,
       in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
       out_specs=(P(), P()),
+      check_vma=False)
+
+  return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# tile parallelism (one frame sharded into image stripes over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def tp_rasterize(mesh: Mesh, config: RasterConfig,
+                 image_size: Tuple[int, int],
+                 capacity: Optional[int] = None,
+                 axis_name: str = "data"):
+  """Build a jitted tile-parallel rasterizer for ONE frame.
+
+  The image is split into `mesh size` horizontal tile-aligned stripes;
+  each device runs the full mapper + Pallas raster pipeline on its
+  stripe with the gaussians' mean-y shifted into the stripe frame (the
+  per-tile blend math is tile-local, so stripe results are bitwise the
+  single-device results; gaussians outside a stripe are SAT-culled by
+  its mapper). Forward needs NO collectives — the returned image/weight
+  are row-sharded across the mesh. Under `jax.grad`, shard_map's
+  transpose psums the per-point gradients over ICI.
+
+  The returned function:
+    tp(gaussians2d (N, 7), depth (N,), features (N, F))
+      -> (image (H, W, F) row-sharded, weight (H, W) row-sharded,
+          visibility (N,) replicated or None)
+
+  `capacity` bounds each device's LOCAL overlap list (default: the
+  single-stripe heuristic); visibility is psum-reduced when
+  config.compute_visibility.
+  """
+  from ..ops.raster import rasterize
+
+  w, h = image_size
+  d = mesh.devices.size
+  ts = config.tile_size
+  assert h % (d * ts) == 0, (
+      f"image height {h} must split into {d} tile-aligned stripes "
+      f"(multiple of {d * ts})")
+  stripe_h = h // d
+  local_capacity = capacity
+
+  with_vis = config.compute_visibility or config.compute_point_heuristic
+
+  def device_fn(points, depth, features):
+    idx = jax.lax.axis_index(axis_name)
+    y0 = (idx * stripe_h).astype(points.dtype)
+    pts_local = points.at[:, 1].add(-y0)
+    out = rasterize(pts_local, depth, features, (w, stripe_h), config,
+                    capacity=local_capacity)
+    if with_vis:
+      return (out.image, out.image_weight,
+              jax.lax.psum(out.visibility, axis_name))
+    return out.image, out.image_weight
+
+  out_specs = ((P(axis_name), P(axis_name), P()) if with_vis
+               else (P(axis_name), P(axis_name)))
+  sharded = jax.shard_map(
+      device_fn, mesh=mesh,
+      in_specs=(P(), P(), P()),
+      out_specs=out_specs,
       check_vma=False)
 
   return jax.jit(sharded)

@@ -63,21 +63,23 @@ def bench_scene(n, image_size, config, iters=20, training=False):
         f"emit_tails={emit_tails}", file=sys.stderr)
 
   if training:
-    config = config.replace(compute_visibility=True,
-                            compute_point_heuristic=True)
+    config = config.replace(compute_point_heuristic=True)
 
   @jax.jit
   def train_frame(gaussians, g_image):
     if training:
       sink = jnp.zeros((n, 2), jnp.float32)
+      vsink = jnp.zeros((n,), jnp.float32)
 
-      def loss(g, s):
+      def loss(g, s, vs):
+        # visibility via sink: rides the backward's gradient reduction
         r = render_gaussians(g, camera, config, capacity=capacity,
-                             emit_tails=emit_tails, heuristic_sink=s)
-        return jnp.vdot(r.image, g_image), r.point_visibility
+                             emit_tails=emit_tails, heuristic_sink=s,
+                             visibility_sink=vs)
+        return jnp.vdot(r.image, g_image)
 
-      (g, heur), vis = jax.grad(loss, argnums=(0, 1), has_aux=True)(
-          gaussians, sink)
+      g, heur, vis = jax.grad(loss, argnums=(0, 1, 2))(
+          gaussians, sink, vsink)
       return g, jnp.sum(g.position) + jnp.sum(heur) + jnp.sum(vis)
 
     def loss(g):

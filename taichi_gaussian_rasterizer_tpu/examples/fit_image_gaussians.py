@@ -133,13 +133,16 @@ def train_epoch(params: ParameterClass, ref_image: jax.Array,
   n = params.num_points
   w, h = image_size
 
-  def loss_fn(tensors, sink):
+  def loss_fn(tensors, sink, vsink):
     g = tensors_to_gaussians(tensors)
     packed = project_gaussians2d(g)
     mapping = map_to_tiles(packed, jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0),
                            image_size, config)
+    # visibility arrives as vsink's cotangent (rides the backward's
+    # gradient reduction; the forward skips its visibility machinery)
     out = rasterize_with_tiles(packed, g.feature, mapping, image_size,
-                               config, heuristic_sink=sink)
+                               config, heuristic_sink=sink,
+                               visibility_sink=vsink)
     image = jax.nn.sigmoid(out.image)
 
     scale = jnp.exp(g.log_scaling) / min(w, h)
@@ -148,16 +151,17 @@ def train_epoch(params: ParameterClass, ref_image: jax.Array,
             + scale_reg * jnp.mean(scale ** 2))
     return loss, (image, out, mapping.overflow)
 
-  grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+  grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
   def step(carry, _):
     params, heur_acc = carry
     sink = jnp.zeros((n, 2), jnp.float32)
-    (loss, (image, out, overflow)), (grads, heur) = grad_fn(
-        {k: params.tensors[k] for k in TENSOR_KEYS}, sink)
+    vsink = jnp.zeros((n,), jnp.float32)
+    (loss, (image, out, overflow)), (grads, heur, vis) = grad_fn(
+        {k: params.tensors[k] for k in TENSOR_KEYS}, sink, vsink)
 
     basis = point_basis(tensors_to_gaussians(params.tensors))
-    params = params.step(grads, visibility=out.visibility, basis=basis)
+    params = params.step(grads, visibility=vis, basis=basis)
 
     # parameter clamps (reference :139-142)
     rot = params.tensors["rotation"]
@@ -166,7 +170,7 @@ def train_epoch(params: ParameterClass, ref_image: jax.Array,
         rotation=rot,
         log_scaling=jnp.clip(params.tensors["log_scaling"], -5, 5))
 
-    return (params, heur_acc + heur), (loss, image, out.visibility, overflow)
+    return (params, heur_acc + heur), (loss, image, vis, overflow)
 
   (params, heuristics), (losses, images, vis, overflows) = jax.lax.scan(
       step, (params, jnp.zeros((n, 2), jnp.float32)), None,

@@ -136,6 +136,7 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      render_median_depth: bool = False,
                      use_ndc_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
+                     visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:183-231).
@@ -166,7 +167,7 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
 
   raster = rasterize_with_tiles(
       gaussians2d, features, mapping, camera_params.image_size, config,
-      heuristic_sink=heuristic_sink)
+      heuristic_sink=heuristic_sink, visibility_sink=visibility_sink)
 
   median_depth = None
   if render_median_depth:
@@ -208,6 +209,7 @@ def render_gaussians(gaussians: Gaussians3D,
                      use_depth16: bool = False,
                      render_median_depth: bool = False,
                      heuristic_sink: Optional[jax.Array] = None,
+                     visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:134-170).
@@ -232,8 +234,8 @@ def render_gaussians(gaussians: Gaussians3D,
       in_view, gaussians2d, features, depths, camera_params, config,
       render_depth=render_depth, use_depth16=use_depth16,
       render_median_depth=render_median_depth,
-      heuristic_sink=heuristic_sink, capacity=capacity,
-      emit_tails=emit_tails)
+      heuristic_sink=heuristic_sink, visibility_sink=visibility_sink,
+      capacity=capacity, emit_tails=emit_tails)
 
 
 def render_with_heuristics(loss_fn, gaussians: Gaussians3D,
@@ -260,15 +262,20 @@ def render_with_heuristics(loss_fn, gaussians: Gaussians3D,
   cfg = config.replace(compute_point_heuristic=True)
   n = gaussians.position.shape[0]
   sink = jnp.zeros((n, 2), gaussians.position.dtype)
+  vsink = jnp.zeros((n,), gaussians.position.dtype)
 
-  def wrapped(g, s):
+  def wrapped(g, s, vs):
+    # visibility rides the backward's gradient reduction as the vsink
+    # cotangent (one extra packed payload) — the forward skips its
+    # separate visibility sort + segment-sum entirely (function.py)
     r = render_gaussians(g, camera_params, cfg, heuristic_sink=s,
-                         **render_kwargs)
+                         visibility_sink=vs, **render_kwargs)
     return loss_fn(r), r
 
-  (loss, rendering), (grads, heuristic) = jax.value_and_grad(
-      wrapped, argnums=(0, 1), has_aux=True)(gaussians, sink)
-  return loss, grads, rendering.replace(point_heuristic=heuristic)
+  (loss, rendering), (grads, heuristic, visibility) = jax.value_and_grad(
+      wrapped, argnums=(0, 1, 2), has_aux=True)(gaussians, sink, vsink)
+  return loss, grads, rendering.replace(point_heuristic=heuristic,
+                                        point_visibility=visibility)
 
 
 def viewspace_gradient(grad_gaussians2d: jax.Array) -> jax.Array:

@@ -58,9 +58,11 @@ from .flat import (COEFF_ROWS, FEAT_ROW0, POINT_ROWS, IterationList,
 from .forward import DMA_DEPTH, rem, use_interpret
 
 
-def live_grad_rows(f: int, compute_point_heuristic: bool) -> int:
-  """7 point-parameter rows [+2 heuristics] + F feature rows."""
-  return 7 + (2 if compute_point_heuristic else 0) + f
+def live_grad_rows(f: int, compute_point_heuristic: bool,
+                   vis_row: bool = False) -> int:
+  """7 point-parameter rows [+2 heuristics] [+1 visibility] + F feature
+  rows."""
+  return 7 + (2 if compute_point_heuristic else 0) + int(vis_row) + f
 
 
 def next_nonempty_tile(tile_ranges: jax.Array) -> jax.Array:
@@ -78,7 +80,7 @@ def next_nonempty_tile(tile_ranges: jax.Array) -> jax.Array:
 
 def _backward_kernel(config: RasterConfig, f: int,
                      compute_point_heuristic: bool, pack_bf16: bool,
-                     out_rows: int):
+                     out_rows: int, vis_row: bool = False):
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
@@ -307,6 +309,13 @@ def _backward_kernel(config: RasterConfig, f: int,
             rows.append(col(ag.dL_da_raw * ag.dL_da_raw))
             rows.append(col(jnp.abs(B * qx) + jnp.abs(B * qy)))
 
+        if vis_row:
+          # per-slot visibility (sum of replayed blend weights over
+          # pixels) rides the gradient reduction as one more row —
+          # delivered as the visibility sink's cotangent, replacing the
+          # forward path's separate sort + segment-sum (function.py)
+          rows.append(col(w.weight))
+
         # feature gradient: dF[c, g] = sum_p grad[c, p] * weight[p, g];
         # 1 pass — the result is immediately quantized to a bf16 pair,
         # so extra MXU passes buy precision the output cannot hold
@@ -387,7 +396,8 @@ def _backward_kernel(config: RasterConfig, f: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "f", "compute_point_heuristic"))
+    jax.jit, static_argnames=("config", "f", "compute_point_heuristic",
+                              "vis_row"))
 def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
                            iters: IterationList,
                            grad_padded: jax.Array,    # (T, F_pad, P)
@@ -395,7 +405,8 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
                            f: int = None,
                            config: RasterConfig = None,
                            compute_point_heuristic: bool = False,
-                           satiters: jax.Array = None):
+                           satiters: jax.Array = None,
+                           vis_row: bool = False):
   """Run the flat backward kernel over the mapper's abutting bins.
 
   combined is flat.build_combined's per-slot buffer (shared with the
@@ -419,7 +430,7 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
   k_cap = mapping.overlap_to_point.shape[0]
   assert combined.shape[0] == combined_rows(f)
   pack_bf16 = dtype == jnp.float32 and not config.exact_slot_gradients
-  live = live_grad_rows(f, compute_point_heuristic)
+  live = live_grad_rows(f, compute_point_heuristic, vis_row)
   stored = (live + 1) // 2 if pack_bf16 else live
   rows = round_up(stored, 8)
   out_dtype = jnp.uint32 if pack_bf16 else dtype
@@ -429,7 +440,7 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
   tnext = next_nonempty_tile(mapping.tile_ranges)
 
   kernel = _backward_kernel(config, f, compute_point_heuristic, pack_bf16,
-                            rows)
+                            rows, vis_row=vis_row)
 
   f_pad = grad_padded.shape[1]
   p = grad_padded.shape[2]

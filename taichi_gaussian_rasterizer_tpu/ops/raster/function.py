@@ -107,16 +107,19 @@ def _forward_impl(config, compute_visibility, points, features, mapping):
   return combined, iters, tiled[:, :f + 1, :], vis, satiters
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _raster_core(config: RasterConfig, compute_visibility: bool,
-                 points, features, heuristic_sink, mapping: TileMapping):
+                 vis_via_sink: bool,
+                 points, features, heuristic_sink, visibility_sink,
+                 mapping: TileMapping):
   _, _, tiled, vis, _ = _forward_impl(
       config, compute_visibility, points, features, mapping)
   return tiled, vis
 
 
-def _raster_core_fwd(config, compute_visibility, points, features,
-                     heuristic_sink, mapping):
+def _raster_core_fwd(config, compute_visibility, vis_via_sink,
+                     points, features, heuristic_sink, visibility_sink,
+                     mapping):
   # the combined per-slot buffer is saved as a residual (XLA CSEs it with
   # the forward's own build): its gather costs ~6 ns/idx on TPU, so
   # re-gathering in the backward would be a large fraction of the whole
@@ -127,7 +130,8 @@ def _raster_core_fwd(config, compute_visibility, points, features,
   return (tiled, vis), (combined, iters, tiled, satiters, mapping, points)
 
 
-def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
+def _raster_core_bwd(config, compute_visibility, vis_via_sink,
+                     residuals, cotangents):
   combined, iters, tiled, satiters, mapping, points = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
@@ -150,12 +154,13 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
 
   gout = raster_backward_pallas(
       combined, iters, grad_padded, mapping, f=f, config=config,
-      compute_point_heuristic=compute_heuristic, satiters=satiters)
+      compute_point_heuristic=compute_heuristic, satiters=satiters,
+      vis_row=vis_via_sink)
 
-  # reduce only the live rows (7 point grads [+2 heuristics] + F feature
-  # grads, contiguous); in f32 they arrive packed as bf16 pairs in u32
-  # rows, halving the reduction sort's payload columns
-  live = live_grad_rows(f, compute_heuristic)
+  # reduce only the live rows (7 point grads [+2 heuristics] [+1
+  # visibility] + F feature grads, contiguous); in f32 they arrive packed
+  # as bf16 pairs in u32 rows, halving the reduction sort's payloads
+  live = live_grad_rows(f, compute_heuristic, vis_via_sink)
   if gout.dtype == jnp.uint32:
     per_point = reduce_packed_slots_by_point(
         gout[:(live + 1) // 2], mapping, live)
@@ -194,15 +199,21 @@ def _raster_core_bwd(config, compute_visibility, residuals, cotangents):
     # per-point pa^2 factor (reference backward.py:194-198)
     prune_scale = pa * pa
 
+  col = 7
   if compute_heuristic:
     heuristic = jnp.stack(
         [per_point[:, 7] * prune_scale, per_point[:, 8]], axis=1)
-    gf = per_point[:, 9:9 + f]
+    col = 9
   else:
     heuristic = jnp.zeros((n, 2), dtype)
-    gf = per_point[:, 7:7 + f]
+  if vis_via_sink:
+    vis_cot = per_point[:, col]
+    col += 1
+  else:
+    vis_cot = jnp.zeros((n,), dtype)
+  gf = per_point[:, col:col + f]
 
-  return (grad_points, gf, heuristic, _float0_like(mapping))
+  return (grad_points, gf, heuristic, vis_cot, _float0_like(mapping))
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
@@ -212,6 +223,7 @@ def rasterize_with_tiles(
     gaussians2d: jax.Array, features: jax.Array, mapping: TileMapping,
     image_size: Tuple[int, int], config: RasterConfig,
     heuristic_sink: Optional[jax.Array] = None,
+    visibility_sink: Optional[jax.Array] = None,
     impl: str = "pallas",
     max_points_per_tile: Optional[int] = None,
 ) -> RasterOut:
@@ -227,6 +239,13 @@ def rasterize_with_tiles(
       `compute_point_heuristic` toggle the aux outputs
     heuristic_sink: optional (N, 2) zeros; differentiate the loss w.r.t.
       it to receive (prune_cost, split_score) as its "gradient"
+    visibility_sink: optional (N,) zeros; differentiate the loss w.r.t.
+      it to receive the per-point visibility as its "gradient". The
+      TRAINING fast path: the visibility row rides the backward's
+      gradient reduction (one extra packed payload), replacing the
+      forward's separate sort + segment-sum — `out.visibility` is then
+      None and the forward skips its visibility machinery entirely.
+      Only meaningful when the loss is differentiated (fwd+bwd frames).
     impl: "pallas" (custom_vjp kernels) or "xla" (pure-XLA fallback;
       requires max_points_per_tile, no heuristics)
 
@@ -235,7 +254,10 @@ def rasterize_with_tiles(
   reference, which marks it non-differentiable).
   """
   n, f = features.shape
-  compute_visibility = config.compute_visibility or config.compute_point_heuristic
+  vis_via_sink = visibility_sink is not None
+  compute_visibility = ((config.compute_visibility
+                         or config.compute_point_heuristic)
+                        and not vis_via_sink)
 
   if impl == "xla":
     from .xla_impl import rasterize_tiles_xla
@@ -248,10 +270,12 @@ def rasterize_with_tiles(
 
   if heuristic_sink is None:
     heuristic_sink = jnp.zeros((n, 2), gaussians2d.dtype)
+  if visibility_sink is None:
+    visibility_sink = jnp.zeros((n,), gaussians2d.dtype)
 
   tiled, vis_slots = _raster_core(
-      config, compute_visibility, gaussians2d, features, heuristic_sink,
-      mapping)
+      config, compute_visibility, vis_via_sink,
+      gaussians2d, features, heuristic_sink, visibility_sink, mapping)
 
   if not config.use_alpha_blending:
     tiled = jax.lax.stop_gradient(tiled)

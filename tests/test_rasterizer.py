@@ -323,3 +323,31 @@ def test_saturation_early_exit_exact():
                                 np.asarray(outs[True].image))
   np.testing.assert_array_equal(np.asarray(outs[False].image_weight),
                                 np.asarray(outs[True].image_weight))
+
+
+@pytest.mark.quick
+def test_visibility_sink_matches_forward():
+  """Visibility delivered as the visibility_sink cotangent (riding the
+  backward's gradient reduction) must equal the forward-path visibility
+  (f64: the replay is exact)."""
+  image_size = (48, 32)
+  points, depth, feats = scene(11, 150, image_size)
+
+  config_f = RasterConfig(tile_size=16, points_per_chunk=8,
+                          compute_visibility=True)
+  mapping = map_to_tiles(points, depth, image_size, config_f)
+  out_f = rasterize_with_tiles(points, feats, mapping, image_size, config_f)
+
+  config_s = RasterConfig(tile_size=16, points_per_chunk=8)
+  vsink = jnp.zeros((150,), jnp.float64)
+
+  def loss(vs):
+    out = rasterize_with_tiles(points, feats, mapping, image_size,
+                               config_s, visibility_sink=vs)
+    assert out.visibility is None  # forward path skipped entirely
+    return jnp.sum(out.image)
+
+  vis_sink = jax.grad(loss)(vsink)
+  np.testing.assert_allclose(np.asarray(vis_sink),
+                             np.asarray(out_f.visibility),
+                             rtol=1e-9, atol=1e-12)

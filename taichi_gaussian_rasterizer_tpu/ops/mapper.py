@@ -54,17 +54,24 @@ from . import lib
 TILE_SENTINEL = jnp.iinfo(jnp.int32).max
 
 # candidate budgets per footprint bucket (tiles per gaussian enumerated)
-_BUDGETS = (2, 4, 16, 64, 256)
+_BUDGETS = (1, 2, 4, 16, 64, 256)
 # For large N, later rounds only process a static tail of the
 # footprint-sorted order (gaussians beyond it get cropped + flagged);
 # for small N every round covers everything — the work is negligible.
+# Round 0's budget is 1: at scale most gaussians are span-1 (6M scenes:
+# ~1.7 overlaps/point), and a 2-candidate round 0 pushed one guaranteed
+# sentinel per span-1 gaussian through the candidate sort.
 _SMALL_N = 4096
-_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 8, 1.0 / 32, 1.0 / 256)
+_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 4, 1.0 / 8, 1.0 / 32, 1.0 / 256)
 _N_ROUNDS = len(_BUDGETS)
 
 
 def _tail_size(n: int, r: int, emit_tails=None) -> int:
   if emit_tails is not None:
+    # tuples from older probe versions may be shorter than _N_ROUNDS;
+    # missing rounds emit nothing (cropping is flagged as usual)
+    if r >= len(emit_tails):
+      return 0
     return n if r == 0 else min(n, int(emit_tails[r]))
   if n <= _SMALL_N:
     return n

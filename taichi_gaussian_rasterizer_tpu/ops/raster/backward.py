@@ -59,10 +59,11 @@ from .forward import DMA_DEPTH, rem, use_interpret
 
 
 def live_grad_rows(f: int, compute_point_heuristic: bool,
-                   vis_row: bool = False) -> int:
-  """7 point-parameter rows [+2 heuristics] [+1 visibility] + F feature
-  rows."""
-  return 7 + (2 if compute_point_heuristic else 0) + int(vis_row) + f
+                   vis_row: bool = False, antialias: bool = False) -> int:
+  """Point-parameter rows (7 eigen-form for antialias, 6 conic-transport
+  otherwise) [+2 heuristics] [+1 visibility] + F feature rows."""
+  return ((7 if antialias else 6)
+          + (2 if compute_point_heuristic else 0) + int(vis_row) + f)
 
 
 def next_nonempty_tile(tile_ranges: jax.Array) -> jax.Array:
@@ -287,8 +288,7 @@ def _backward_kernel(config: RasterConfig, f: int,
                   -0.5 * bdxx,                          # d/d qa
                   -bdxy,                                # d/d qb
                   -0.5 * bdyy,                          # d/d qc
-                  m0,                                   # d/d log_pa
-                  jnp.zeros((1, g), dtype)]             # spare (layout)
+                  m0]                                   # d/d log_pa
 
         if compute_point_heuristic:
           # reference backward.py:194-198: per pixel aag = point_alpha *
@@ -430,7 +430,8 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
   k_cap = mapping.overlap_to_point.shape[0]
   assert combined.shape[0] == combined_rows(f)
   pack_bf16 = dtype == jnp.float32 and not config.exact_slot_gradients
-  live = live_grad_rows(f, compute_point_heuristic, vis_row)
+  live = live_grad_rows(f, compute_point_heuristic, vis_row,
+                        config.antialias)
   stored = (live + 1) // 2 if pack_bf16 else live
   rows = round_up(stored, 8)
   out_dtype = jnp.uint32 if pack_bf16 else dtype

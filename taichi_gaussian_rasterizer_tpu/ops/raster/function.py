@@ -160,7 +160,8 @@ def _raster_core_bwd(config, compute_visibility, vis_via_sink,
   # reduce only the live rows (7 point grads [+2 heuristics] [+1
   # visibility] + F feature grads, contiguous); in f32 they arrive packed
   # as bf16 pairs in u32 rows, halving the reduction sort's payloads
-  live = live_grad_rows(f, compute_heuristic, vis_via_sink)
+  live = live_grad_rows(f, compute_heuristic, vis_via_sink,
+                        config.antialias)
   if gout.dtype == jnp.uint32:
     per_point = reduce_packed_slots_by_point(
         gout[:(live + 1) // 2], mapping, live)
@@ -171,6 +172,7 @@ def _raster_core_bwd(config, compute_visibility, vis_via_sink,
     # eigen-form transport: rows are already packed-format gradients
     grad_points = per_point[:, :7]
     prune_scale = 1.0
+    col = 7
   else:
     # conic transport (backward.py): rows are gradients w.r.t.
     # (mean, qa, qb, qc, log_pa); chain to the packed
@@ -196,14 +198,15 @@ def _raster_core_bwd(config, compute_visibility, vis_via_sink,
     grad_points = jnp.stack(
         [gmx, gmy, d_ax, d_ay, d_sx, d_sy, d_alpha], axis=1)
     # the conic backward transports col(dL_da^2); prune cost carries the
-    # per-point pa^2 factor (reference backward.py:194-198)
+    # per-point pa^2 factor (reference backward.py:194-198). Conic
+    # transport is 6 rows, so aux columns start at 6, not 7.
     prune_scale = pa * pa
+    col = 6
 
-  col = 7
   if compute_heuristic:
     heuristic = jnp.stack(
-        [per_point[:, 7] * prune_scale, per_point[:, 8]], axis=1)
-    col = 9
+        [per_point[:, col] * prune_scale, per_point[:, col + 1]], axis=1)
+    col += 2
   else:
     heuristic = jnp.zeros((n, 2), dtype)
   if vis_via_sink:

@@ -356,7 +356,14 @@ def _backward_kernel(config: RasterConfig, f: int,
 
       # Skipped (post-saturation) iterations leave their pre-zeroed lanes
       # in the chunk block — zero gradients, exact by the blend gates.
-      pl.when(c_local < nbwd)(compute)
+      # The conditional is gated on config.saturation_early_exit: wrapping
+      # the heavy body in pl.when costs ~180 ns/entry of Mosaic pipeline
+      # stalls (measured, PERF.md round-3c) — pure loss on scenes that
+      # never saturate.
+      if config.saturation_early_exit:
+        pl.when(c_local < nbwd)(compute)
+      else:
+        compute()
 
       return (t, k_open, c_local, nbwd, goff_prev, g_open)
 

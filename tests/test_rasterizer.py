@@ -312,17 +312,28 @@ def test_saturation_early_exit_exact():
   # opaque gaussians so transmittance collapses within a few chunks
   points = points.at[:, 6].set(0.95)
 
-  outs = {}
+  outs, grads = {}, {}
   for ee in (False, True):
     config = RasterConfig(tile_size=8, points_per_chunk=8,
                           saturation_early_exit=ee)
     mapping = map_to_tiles(points, depth, image_size, config)
     outs[ee] = rasterize_with_tiles(points, feats, mapping, image_size,
                                     config)
+
+    def loss(pts, f, cfg=config, m=mapping):
+      out = rasterize_with_tiles(pts, f, m, image_size, cfg)
+      return jnp.sum(out.image ** 2)
+
+    grads[ee] = jax.grad(loss, argnums=(0, 1))(points, feats)
+
   np.testing.assert_array_equal(np.asarray(outs[False].image),
                                 np.asarray(outs[True].image))
   np.testing.assert_array_equal(np.asarray(outs[False].image_weight),
                                 np.asarray(outs[True].image_weight))
+  # the flag also gates the BACKWARD's replay skip: both paths must
+  # produce identical gradients (skipped iterations are exactly zero)
+  for ga, gb in zip(grads[False], grads[True]):
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
 
 
 @pytest.mark.quick

@@ -115,11 +115,11 @@ def main():
 
   image_size = (2048, 1536)
   # saturation_early_exit off: the synthetic scenes never saturate a
-  # tile (verified: zero skipped chunk-iterations), so the skip branch
-  # is pure Mosaic pipeline-stall cost (~180 ns/entry per kernel, ~11 ms
-  # per frame — PERF.md round-3c). Real opaque scenes should keep the
-  # default True; the probe flow (render once, inspect image_weight)
-  # tells a user which regime they are in.
+  # tile (verified: zero skipped chunk-iterations), so the forward's
+  # skip branch is pure Mosaic pipeline-stall cost (~5.8 ms/frame —
+  # PERF.md round-3c). Real opaque scenes should keep the default True;
+  # the probe flow (render once, inspect image_weight) tells a user
+  # which regime they are in.
   config = RasterConfig(tile_size=16, points_per_chunk=128,
                         saturation_early_exit=False)
 

@@ -37,7 +37,8 @@ def main():
   image_size = (args.size, args.size * 3 // 4)
   config = RasterConfig(tile_size=16, points_per_chunk=128,
                         compute_visibility=args.training,
-                        compute_point_heuristic=args.training)
+                        compute_point_heuristic=args.training,
+                        saturation_early_exit=False)  # bench.py config
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
   order = morton.argsort(g.position)

@@ -60,17 +60,18 @@ class RasterConfig:
   # gaussians staged per VMEM chunk inside raster kernels; tile bins are
   # padded to a multiple of this
   points_per_chunk: int = 128
-  # Skip chunk compute once every pixel of a tile saturates — in the
-  # forward (break-equivalent; the reference's blending forward never
-  # exits, forward.py:107-114) AND in the backward's replay (the
-  # reference's per-pixel early termination, backward.py:160-166). Exact
-  # by the blend gates. The tradeoff is NOT free on TPU: wrapping the
-  # chunk body in a conditional costs ~180 ns/entry of Mosaic pipeline
-  # stalls per kernel (~5-6 ms per kernel at 1M@2048 — PERF.md round-3c),
-  # repaid only when tiles actually saturate (measured 62 -> 52 ms
-  # forward at 74% saturation). Leave True for real opaque scenes;
-  # set False for low-opacity scenes (probe: render once and check
-  # Rendering.image_weight against saturate_threshold).
+  # Skip the FORWARD's chunk compute once every pixel of a tile
+  # saturates (break-equivalent; the reference's blending forward never
+  # exits, forward.py:107-114). Exact by the blend gates. The tradeoff
+  # is NOT free on TPU: wrapping the forward's chunk body in a
+  # conditional costs ~180 ns/entry of Mosaic pipeline stalls (~5.8 ms
+  # at 1M@2048 — PERF.md round-3c), repaid only when tiles actually
+  # saturate (measured 62 -> 52 ms forward at 74% saturation). Leave
+  # True for real opaque scenes; set False for low-opacity scenes
+  # (probe: render once and check Rendering.image_weight against
+  # saturate_threshold). The BACKWARD's replay skip (the reference's
+  # per-pixel early termination, backward.py:160-166) is always on —
+  # its conditional is measurably free there.
   saturation_early_exit: bool = True
 
   # In f32 the backward packs per-slot gradient rows pairwise as bf16

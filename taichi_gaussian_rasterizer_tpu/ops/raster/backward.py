@@ -356,14 +356,13 @@ def _backward_kernel(config: RasterConfig, f: int,
 
       # Skipped (post-saturation) iterations leave their pre-zeroed lanes
       # in the chunk block — zero gradients, exact by the blend gates.
-      # The conditional is gated on config.saturation_early_exit: wrapping
-      # the heavy body in pl.when costs ~180 ns/entry of Mosaic pipeline
-      # stalls (measured, PERF.md round-3c) — pure loss on scenes that
-      # never saturate.
-      if config.saturation_early_exit:
-        pl.when(c_local < nbwd)(compute)
-      else:
-        compute()
+      # Unlike the forward (where the heavy-body pl.when costs ~180
+      # ns/entry of pipeline stall — PERF.md round-3c), the backward is
+      # measurably FASTER with the conditional even when never taken
+      # (32.5 vs 35.0 ms A/B on a never-saturating 1M scene: the region
+      # split helps Mosaic's scheduling of the larger body), so the skip
+      # stays unconditional here regardless of saturation_early_exit.
+      pl.when(c_local < nbwd)(compute)
 
       return (t, k_open, c_local, nbwd, goff_prev, g_open)
 

@@ -21,16 +21,16 @@ TPU-specific additions (static shapes under XLA):
 """
 
 from dataclasses import dataclass, replace
-from typing import Tuple
 
 
 @dataclass(frozen=True, eq=True, kw_only=True)
 class RasterConfig:
   tile_size: int = 16
 
-  # kept for API parity with the reference (backward per-thread pixel tile);
-  # the TPU backward vectorizes whole tiles so this knob is unused.
-  pixel_stride: Tuple[int, int] = (2, 2)
+  # NOTE: the reference's `pixel_stride` (per-CUDA-thread pixel sub-tile,
+  # data_types.py:16) is deliberately ABSENT: the TPU backward vectorizes
+  # whole tiles on the VPU, so the knob has no meaning here and accepting
+  # it silently would invite misconfiguration.
 
   # clamp position to within this margin of the image for the affine Jacobian
   clamp_margin: float = 0.15

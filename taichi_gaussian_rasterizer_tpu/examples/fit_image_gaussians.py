@@ -76,27 +76,18 @@ def take_n(t: np.ndarray, n: int, descending=False) -> np.ndarray:
 
 
 def find_split_prune(n, target, n_prune, prune_cost, split_score):
-  """(reference :208-218), plus overlap compensation: points selected by
-  BOTH masks are dropped from both (as in the reference), which made the
-  realized count fall short of `target` by a run-varying amount — and
-  every distinct N re-specializes the jitted train_epoch (XLA static
-  shapes). Re-taking the deficit from the remaining split candidates
-  pins steady-state N exactly at `target`, so training recompiles only
-  on genuine growth steps."""
+  """(reference :208-218). Points selected by BOTH masks drop out of
+  both (as in the reference) — and that already realizes exactly
+  `target`: each overlap point cancels one +1 (split) against one -1
+  (prune), so n + splits - prunes == n + (target_split - both) -
+  (n_prune - both) == target. Exact-N matters here because every
+  distinct N re-specializes the jitted train_epoch (XLA static shapes);
+  steady-state epochs therefore reuse one compiled shape."""
   prune_mask = take_n(prune_cost, n_prune, descending=False)
   target_split = max(0, (target - n) + int(prune_mask.sum()))
   split_mask = take_n(split_score, target_split, descending=True)
   both = split_mask & prune_mask
-  split_mask, prune_mask = split_mask ^ both, prune_mask ^ both
-
-  deficit = target_split - int(split_mask.sum())
-  if deficit > 0:
-    taken = split_mask | prune_mask | both
-    extra_score = np.where(taken, -np.inf, np.asarray(split_score))
-    extra = take_n(extra_score, min(deficit, int((~taken).sum())),
-                   descending=True)
-    split_mask = split_mask | extra
-  return split_mask, prune_mask
+  return split_mask ^ both, prune_mask ^ both
 
 
 def split_prune(key, params: ParameterClass, t, target, prune_rate,

@@ -68,10 +68,14 @@ _N_ROUNDS = len(_BUDGETS)
 
 def _tail_size(n: int, r: int, emit_tails=None) -> int:
   if emit_tails is not None:
-    # tuples from older probe versions may be shorter than _N_ROUNDS;
-    # missing rounds emit nothing (cropping is flagged as usual)
-    if r >= len(emit_tails):
-      return 0
+    if len(emit_tails) != _N_ROUNDS:
+      # _BUDGETS has changed across versions; a tuple of the wrong
+      # length came from a stale probe and would silently mis-align
+      # budgets with tails (largest-footprint gaussians cropped).
+      raise ValueError(
+          f"emit_tails has {len(emit_tails)} entries but the mapper has "
+          f"{_N_ROUNDS} emission rounds (budgets {_BUDGETS}) — the tuple "
+          "is stale; re-run probe_emit_tails")
     return n if r == 0 else min(n, int(emit_tails[r]))
   if n <= _SMALL_N:
     return n
@@ -407,8 +411,12 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
 
   # is_stable=False: measured 10.3 -> 7.6 ms (u32 key + payload, 3.06M) /
   # 12.8 -> 11.4 ms (2-key) on TPU v5e. Candidates with identical
-  # (tile, depth) keys may blend in arbitrary order — exactly the
-  # reference's semantics (radix_sort_pairs on equal keys).
+  # (tile, depth) keys blend in arbitrary, compile-dependent order. The
+  # reference's CUB radix_sort_pairs IS stable (ties blend in generation
+  # order), so this is a deliberate determinism-for-speed tradeoff; it
+  # only matters for exactly-tied depths, which are measure-zero in f32
+  # mode but common under depth16 quantization (see map_to_tiles'
+  # depth16 docstring).
   cand_pos = jnp.concatenate(pv_parts)       # original point index or n
   if use_depth16:
     packed = jnp.concatenate(key_parts)

@@ -90,8 +90,13 @@ def build_iteration_list(mapping: TileMapping, g: int) -> IterationList:
   # searchsorted here lowers to a ~2 ms while-loop per frame; instead
   # scatter each tile onto the first chunk it can own and take a running
   # maximum (bins abut, so owners are monotone in the chunk index).
-  first_chunk = jnp.minimum(cdiv(starts, g), n_chunks - 1) if n_chunks \
-      else starts[:0]
+  # The scatter index is deliberately UNclamped: a tile whose bin starts
+  # strictly inside the final capacity chunk (or past it — trailing empty
+  # tiles with starts == total, cropped tiles under overflow) owns no
+  # chunk-aligned entry at all (its head lanes arrive via the b-entry
+  # below), so its scatter must be dropped, not folded onto the last
+  # chunk where it would shadow the true owner's a-entry.
+  first_chunk = cdiv(starts, g)
   owner0 = jnp.zeros((max(n_chunks, 1),), jnp.int32).at[first_chunk].max(
       jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
   owner = jax.lax.cummax(owner0)[:n_chunks]

@@ -264,7 +264,16 @@ def rasterize_with_tiles(
 
   if impl == "xla":
     from .xla_impl import rasterize_tiles_xla
-    assert max_points_per_tile is not None, "xla impl needs max_points_per_tile"
+    if max_points_per_tile is None:
+      raise ValueError(
+          "impl='xla' needs an explicit max_points_per_tile: the fallback "
+          "materializes (tiles, max_points_per_tile) dense bins (it is a "
+          "test oracle, not the production path)")
+    if heuristic_sink is not None or visibility_sink is not None:
+      raise ValueError(
+          "impl='xla' does not support heuristic/visibility sinks — use "
+          "impl='pallas', or config.compute_visibility for the forward-"
+          "computed visibility")
     image, weight, vis, bin_overflow = rasterize_tiles_xla(
         gaussians2d, features, mapping, image_size, config,
         max_points_per_tile=max_points_per_tile,

@@ -161,7 +161,9 @@ def tp_rasterize(mesh: Mesh, config: RasterConfig,
   from ..ops.raster import rasterize
 
   w, h = image_size
-  d = mesh.devices.size
+  # stripe count = the extent of the sharded axis (NOT the total device
+  # count: on a multi-axis mesh the y-offsets are per-axis_name shard)
+  d = mesh.shape[axis_name]
   ts = config.tile_size
   assert h % (d * ts) == 0, (
       f"image height {h} must split into {d} tile-aligned stripes "

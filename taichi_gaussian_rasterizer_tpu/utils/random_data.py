@@ -97,7 +97,7 @@ def random_3d_gaussians(key, n: int, camera_params: CameraParams,
   position = unproject_points(uv, depth[:, None], camera_params)
   fx = camera_params.projection[0]
 
-  scale = (w / math.sqrt(n)) * (depth / fx) * scale_factor
+  scale = (w / math.sqrt(max(n, 1))) * (depth / fx) * scale_factor
   scaling = (jax.random.uniform(keys[2], (n, 3), dtype) + 0.2) * scale[:, None]
 
   rotation = lib.safe_normalize(jax.random.normal(keys[3], (n, 4), dtype))

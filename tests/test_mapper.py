@@ -189,10 +189,21 @@ def test_mapper_emit_tails_crop_flags_overflow():
   image_size = (160, 96)
   config = RasterConfig(tile_size=16, points_per_chunk=8)
   points, depth = make_scene(6, 120, image_size)
-  # starve every round past the first: only budget-2 candidates emitted
+  # starve every round past the first: only budget-1 candidates emitted
   mapping = map_to_tiles(points, depth, image_size, config,
-                         emit_tails=(120, 0, 0, 0, 0))
+                         emit_tails=(120, 0, 0, 0, 0, 0))
   assert bool(mapping.overflow)
+
+
+def test_mapper_stale_emit_tails_rejected():
+  """emit_tails tuples whose length mismatches the emission-round count
+  are stale (from an older probe) and must raise, not silently crop."""
+  image_size = (160, 96)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth = make_scene(6, 120, image_size)
+  with pytest.raises(ValueError, match="stale"):
+    map_to_tiles(points, depth, image_size, config,
+                 emit_tails=(120, 0, 0, 0, 0))
 
 
 def test_mapper_zero_points():

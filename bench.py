@@ -1,17 +1,34 @@
-"""Headline benchmark: full forward+backward render of Morton-ordered
-synthetic scenes (1M and 3M gaussians, the BASELINE.md scene bracket) at
-2048x1536 on one TPU chip, end to end: projection, SH-free RGB, tile
-mapping, Pallas rasterize, gradients w.r.t. all gaussian parameters.
+"""Headline benchmark: full forward+backward render (projection, SH-free
+RGB, tile mapping, Pallas rasterize, gradients for all gaussian
+parameters) of Morton-ordered synthetic scenes on one TPU chip.
 
-Scenes are Morton-ordered before rendering, as real 3DGS checkpoints are
-after io.load_gaussians_ply (morton_order=True) — this is the layout the
-windowed-locality optimizations target and what users actually run.
+Scene bracket mirrors the reference's published protocol
+(/root/reference/BENCHMARK.md): the headline row is 1M gaussians
+@2048x1536 (fwd+bwd geometric mean over 13 real scenes = 90.63 it/s =
+11.03 ms/frame, RTX 4090, taichi-splatting(16)); sweep rows cover
+1024/4096 and tile_size 32 (same table), plus 3M/6M scenes spanning the
+reference's per-scene point counts (bicycle ~6M).
 
-Baseline: taichi-splatting fwd+bwd @2048 geometric mean = 90.63 it/s
-(11.03 ms/frame) on an RTX 4090 (BASELINE.md).
+Two occupancy regimes, reported separately:
+
+* "light": the default random_3d_gaussians scene (~2.6 overlaps/point,
+  never saturates a tile) — benched with saturation_early_exit=False,
+  the correct setting for never-saturating scenes (the forward's skip
+  branch is pure Mosaic pipeline-stall cost there; PERF.md round-3c).
+* "heavy": scale_factor/alpha mirroring the reference's own rasterizer
+  benchmark recipe (bench_rasterizer.py:49-50: scale_factor=4,
+  alpha 0.75-1.0 — large, opaque, saturating splats like trained 3DGS
+  checkpoints) — benched with saturation_early_exit=True (the default,
+  required for correctness of the early-exit claim on saturating
+  scenes). Overlap ratio and saturated-pixel fraction are printed so
+  the regime is auditable.
+
+Scenes are Morton-ordered before rendering, as real 3DGS checkpoints
+are after io.load_gaussians_ply (morton_order=True).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-1M scene; the 3M result goes to stderr.
+headline row plus named fields for every other row; per-row baselines
+are the matching taichi-splatting RTX-4090 numbers.
 """
 
 import json
@@ -25,13 +42,22 @@ from taichi_gaussian_rasterizer_tpu.utils import runtime
 
 runtime.init()  # persistent compile cache: later runs compile in seconds
 
-BASELINE_MS = 1000.0 / 90.63  # 11.03 ms/frame (fwd+bwd @2048, RTX 4090)
+# taichi-splatting(16) fwd+bwd geometric means, RTX 4090
+# (/root/reference/benchmarks/benchmark-4090.csv, backward=True rows)
+BASELINE_MS = {
+    "1M_2048": 1000.0 / 90.63,    # 11.03 ms/frame (headline)
+    "1M_1024": 1000.0 / 106.43,   # 9.40
+    "1M_4096": 1000.0 / 47.34,    # 21.12
+    "1M_2048_t32": 1000.0 / 79.69,  # 12.55 (taichi-splatting(32) row)
+}
 
 
-def bench_scene(n, image_size, config, iters=20, training=False):
-  """training=True benches the trainer's actual frame (BASELINE.json
-  configs #4/#5): compute_visibility + compute_point_heuristic on, the
-  heuristic sink differentiated alongside the gaussians."""
+def bench_scene(n, image_size, config, iters=20, training=False,
+                scale_factor=1.0, alpha_range=(0.1, 0.9), label=""):
+  """One fwd+bwd scene row. training=True benches the trainer's actual
+  frame (BASELINE.json configs #4/#5): compute_visibility +
+  compute_point_heuristic on, the heuristic sink differentiated
+  alongside the gaussians."""
   from taichi_gaussian_rasterizer_tpu import (
       map_to_tiles, probe_emit_tails, project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.utils import morton
@@ -40,7 +66,8 @@ def bench_scene(n, image_size, config, iters=20, training=False):
 
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
   gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
-                                  scale_factor=1.0)
+                                  scale_factor=scale_factor,
+                                  alpha_range=alpha_range)
   # Morton-order, as io.load_gaussians_ply does for real scenes
   order = morton.argsort(gaussians.position)
   gaussians = jax.tree.map(lambda x: jnp.take(x, order, axis=0), gaussians)
@@ -51,7 +78,7 @@ def bench_scene(n, image_size, config, iters=20, training=False):
       lambda g: project_to_image(g, camera, config))(gaussians)
   emit_tails = probe_emit_tails(pts, camera.image_size, config)
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
-                           capacity=6 * n, emit_tails=emit_tails)
+                           capacity=16 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
   # 6.25% headroom: the probe measured THIS scene's exact total, so the
   # margin only covers slot alignment; every K-sized op (gather, both
@@ -59,8 +86,8 @@ def bench_scene(n, image_size, config, iters=20, training=False):
   # flows with drifting totals should size their own margin (overflow
   # recompile is the documented path).
   capacity = int((int(total * 1.0625) + 1023) // 1024 * 1024)
-  print(f"n={n}: overlaps={total} -> capacity={capacity} "
-        f"emit_tails={emit_tails}", file=sys.stderr)
+  print(f"[{label}] n={n}: overlaps={total} ({total / n:.2f}/pt) "
+        f"-> capacity={capacity} emit_tails={emit_tails}", file=sys.stderr)
 
   if training:
     config = config.replace(compute_point_heuristic=True)
@@ -94,14 +121,21 @@ def bench_scene(n, image_size, config, iters=20, training=False):
   g_image = jax.random.normal(
       jax.random.PRNGKey(2), (image_size[1], image_size[0], 3), jnp.float32)
 
+  # saturation statistics (one eager render): auditable occupancy regime
+  r = jax.jit(lambda g: render_gaussians(
+      g, camera, config, capacity=capacity,
+      emit_tails=emit_tails))(gaussians)
+  sat_frac = float(jnp.mean(
+      (r.image_weight >= config.saturate_threshold).astype(jnp.float32)))
+
   # compile + warmup; validate the run while we're at it
   t0 = time.perf_counter()
   grads, probe = train_frame(gaussians, g_image)
   compile_s = time.perf_counter() - t0
   assert bool(jnp.isfinite(probe)), "non-finite gradient probe"
   overflow = bool(probe_map.overflow)
-  print(f"n={n}: compile {compile_s:.1f}s "
-        f"probe={float(probe):.4g} overflow={overflow}", file=sys.stderr)
+  print(f"[{label}] compile {compile_s:.1f}s probe={float(probe):.4g} "
+        f"overflow={overflow} saturated_px={sat_frac:.3f}", file=sys.stderr)
 
   t0 = time.perf_counter()
   for _ in range(iters):
@@ -114,38 +148,62 @@ def main():
   from taichi_gaussian_rasterizer_tpu import RasterConfig
 
   image_size = (2048, 1536)
-  # saturation_early_exit off: the synthetic scenes never saturate a
-  # tile (verified: zero skipped chunk-iterations), so the forward's
-  # skip branch is pure Mosaic pipeline-stall cost (~5.8 ms/frame —
-  # PERF.md round-3c). Real opaque scenes should keep the default True;
-  # the probe flow (render once, inspect image_weight) tells a user
-  # which regime they are in.
-  config = RasterConfig(tile_size=16, points_per_chunk=128,
-                        saturation_early_exit=False)
+  # light regime: saturation_early_exit off — these synthetic scenes
+  # never saturate a tile (verified: zero skipped chunk-iterations;
+  # saturated_px printed per row), so the forward's skip branch is pure
+  # Mosaic pipeline-stall cost (~5.8 ms/frame — PERF.md round-3c).
+  light = RasterConfig(tile_size=16, points_per_chunk=128,
+                       saturation_early_exit=False)
+  # heavy regime: the reference's own rasterizer-benchmark scene recipe
+  # (large opaque splats); early exit ON (the default) as any real
+  # opaque scene must run.
+  heavy = RasterConfig(tile_size=16, points_per_chunk=128)
+  heavy_scene = dict(scale_factor=4.0, alpha_range=(0.75, 0.99))
 
-  ms_6m, _ = bench_scene(6_000_000, image_size, config, iters=5)
-  print(f"6M gaussians: {ms_6m:.2f} ms/frame "
-        f"(baseline: bicycle ~6M at 17.1 ms, RTX 4090)", file=sys.stderr)
+  results = {}
 
-  ms_3m, _ = bench_scene(3_000_000, image_size, config, iters=10)
-  print(f"3M gaussians: {ms_3m:.2f} ms/frame", file=sys.stderr)
+  def row(key, *args, **kwargs):
+    try:
+      ms, compile_s = bench_scene(*args, label=key, **kwargs)
+      print(f"[{key}] {ms:.2f} ms/frame", file=sys.stderr)
+      results[key] = round(ms, 3)
+      return ms, compile_s
+    except Exception as e:  # report partial results rather than dying
+      print(f"[{key}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+      results[key] = None
+      return None, None
 
-  ms_tr, _ = bench_scene(1_000_000, image_size, config, iters=10,
-                         training=True)
-  print(f"1M training mode (visibility + heuristics): {ms_tr:.2f} ms/frame",
-        file=sys.stderr)
+  row("ms_6m", 6_000_000, image_size, light, iters=5)
+  row("ms_3m", 3_000_000, image_size, light, iters=10)
+  row("training_mode_ms", 1_000_000, image_size, light, iters=10,
+      training=True)
+  row("ms_heavy", 1_000_000, image_size, heavy, iters=10, **heavy_scene)
+  row("ms_heavy_training", 1_000_000, image_size, heavy, iters=10,
+      training=True, **heavy_scene)
+  row("ms_1024", 1_000_000, (1024, 768), light, iters=20)
+  row("ms_4096", 1_000_000, (4096, 3072), light, iters=5)
+  row("ms_2048_t32",
+      1_000_000, image_size,
+      light.replace(tile_size=32), iters=10)
+  row("ms_antialias", 1_000_000, image_size,
+      light.replace(antialias=True), iters=10)
 
-  ms, compile_s = bench_scene(1_000_000, image_size, config, iters=20)
-  print(json.dumps({
+  ms, compile_s = bench_scene(1_000_000, image_size, light, iters=20,
+                              label="headline")
+  out = {
       "metric": "fwd_bwd_ms_per_frame_2048px_1M_gaussians",
       "value": round(ms, 3),
       "unit": "ms/frame",
-      "vs_baseline": round(BASELINE_MS / ms, 4),
+      "vs_baseline": round(BASELINE_MS["1M_2048"] / ms, 4),
       "compile_s": round(compile_s, 1),
-      "training_mode_ms": round(ms_tr, 3),
-      "ms_3m": round(ms_3m, 3),
-      "ms_6m": round(ms_6m, 3),
-  }))
+  }
+  out.update(results)
+  for key, base in (("ms_1024", "1M_1024"), ("ms_4096", "1M_4096"),
+                    ("ms_2048_t32", "1M_2048_t32")):
+    if results.get(key):
+      out[f"vs_baseline_{key[3:]}"] = round(
+          BASELINE_MS[base] / results[key], 4)
+  print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -94,7 +94,7 @@ def make_read_probe(n_chunks, mode):
   return f
 
 
-def make_write_probe(n_chunks, mode):
+def make_write_probe(n_chunks, mode, k_cap):
   """fori over n_chunks: write a (ROWS, G) VMEM block to HBM at aligned
   or unaligned offsets (disjoint regions, like the gradient flushes)."""
 
@@ -131,7 +131,7 @@ def make_write_probe(n_chunks, mode):
     dummy_ref[0] = 1.0
 
   @jax.jit
-  def f(offs, k_cap):
+  def f(offs):
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -190,9 +190,9 @@ def main():
 
   for mode, offs in [("aligned", offs_aligned),
                      ("unaligned", offs_unaligned)]:
-    f = make_write_probe(n, "aligned" if mode == "aligned" else "any")
+    f = make_write_probe(n, "aligned" if mode == "aligned" else "any", k_cap)
     try:
-      ms = timeit(f, jnp.asarray(offs), k_cap, iters=args.iters)
+      ms = timeit(f, jnp.asarray(offs), iters=args.iters)
       print(f"B write {mode:10s}: {ms:7.3f} ms = {ms / n * 1e6:6.1f} ns/chunk")
     except Exception as e:
       print(f"B write {mode:10s}: FAILED {type(e).__name__}: {str(e)[:200]}")

@@ -226,6 +226,10 @@ def _backward_kernel(config: RasterConfig, f: int,
           w = blend.chunk_weights_raw(a_raw, t_carry, config,
                                       blending=True, cumsum_passes=1)
 
+        # 1/(1 - a_eff) from the weights' log1m (the VPU's exp is
+        # cheaper than its divide, and log1m is already in flight)
+        recip = jnp.exp(-w.log1m)
+
         # D[p, g] = sum_c feats[c, g] * grad[c, p] (alpha channel via the
         # ones row; padding rows zero on both sides). Gradient-grade
         # precision: slot gradients are bf16-packed on output anyway, so
@@ -235,7 +239,13 @@ def _backward_kernel(config: RasterConfig, f: int,
             grad, feats, (((0,), (0,)), ((), ())),
             passes=2 if pack_bf16 else 3)                # (P, G)
 
-        ag = blend.chunk_alpha_grads(w, D, e_col, c_carry)
+        # the fused-B path needs dL_da_raw for nothing; heuristics and
+        # antialias do (prune row / pdf-parameter products)
+        need_dl_da = config.antialias or compute_point_heuristic
+        if need_dl_da:
+          ag = blend.chunk_alpha_grads(w, D, e_col, c_carry, recip=recip)
+        else:
+          bg = blend.chunk_B_grads(w, D, e_col, c_carry, recip)
 
         def col(x):  # reduce over pixels (sublanes) -> (1, G)
           return jnp.sum(x, axis=0, keepdims=True)
@@ -261,7 +271,7 @@ def _backward_kernel(config: RasterConfig, f: int,
           #   d log a/d logpa = 1         -> row m0
           # function.py chains (Q, log_pa) gradients to the packed
           # (axis, sigma, alpha) form per POINT after the reduction.
-          B = ag.dL_da_raw * a_raw                      # (P, G)
+          B = ag.dL_da_raw * a_raw if need_dl_da else bg.B  # (P, G)
           # 2 passes: the monomial operand splits EXACTLY into hi+lo
           # bf16 halves (values like 240.25 need 11 mantissa bits), so
           # the only loss is one bf16 cast of B (~2^-9, transport-grade)
@@ -352,7 +362,7 @@ def _backward_kernel(config: RasterConfig, f: int,
             gout_vmem[gslot])
 
         t_vmem[...] = w.t_carry
-        c_vmem[...] = ag.c_carry
+        c_vmem[...] = ag.c_carry if need_dl_da else bg.c_carry
 
       # Skipped (post-saturation) iterations leave their pre-zeroed lanes
       # in the chunk block — zero gradients, exact by the blend gates.

@@ -271,6 +271,9 @@ class ChunkWeights(NamedTuple):
   t_carry: jax.Array  # (P, 1) transmittance after the chunk
   gate: jax.Array     # (P, G) threshold & clamp & saturation gate
                       # (= d a_eff / d a_raw a.e., for the backward)
+  log1m: jax.Array    # (P, G) log1p(-a_eff) — the backward derives
+                      # 1/(1 - a_eff) as exp(-log1m) (the VPU's exp is
+                      # cheaper than its divide)
 
 
 def chunk_weights(pdf, point_alpha, t_carry, config: RasterConfig,
@@ -318,7 +321,7 @@ def chunk_weights_raw(a_raw, t_carry, config: RasterConfig,
     weight = ((total_before < c) & (total_after >= c)).astype(dtype)
 
   gate = (thresh_ok & clamp_ok & sat_ok).astype(dtype)
-  return ChunkWeights(a_eff, t_excl, weight, t_carry_new, gate)
+  return ChunkWeights(a_eff, t_excl, weight, t_carry_new, gate, log1m)
 
 
 class ChunkGrads(NamedTuple):
@@ -326,18 +329,48 @@ class ChunkGrads(NamedTuple):
   c_carry: jax.Array     # (P, 1) updated inclusive sum of w*D
 
 
-def chunk_alpha_grads(w: ChunkWeights, D, E, c_carry) -> ChunkGrads:
+def chunk_alpha_grads(w: ChunkWeights, D, E, c_carry,
+                      recip=None) -> ChunkGrads:
   """Alpha-path gradients for one chunk (blending mode).
 
   D: (P, G) = sum_c feature[g, c] * grad_image[p, c]; E: (P, 1) =
   sum_c final_image * grad_image; c_carry: (P, 1) inclusive sum of w*D
   from previous chunks. dL/dpdf = dL_da_raw * point_alpha and
-  dL/dpoint_alpha = dL_da_raw * pdf.
+  dL/dpoint_alpha = dL_da_raw * pdf. recip: optional precomputed
+  1/(1 - a_eff) (= exp(-w.log1m), cheaper than a VPU divide).
   """
   wd = w.weight * D
   # backward-only: 1 bf16 pass (the c carry below is an exact VPU sum,
   # so the ~2^-9 within-chunk error is gradient-grade transport noise)
   c_incl = c_carry + exclusive_cumsum_lanes(wd, passes=1) + wd
-  dL_da = w.gate * (w.t_excl * D - (E - c_incl) / (1 - w.a_eff))
+  if recip is None:
+    recip = 1 / (1 - w.a_eff)
+  dL_da = w.gate * (w.t_excl * D - (E - c_incl) * recip)
   c_carry_new = c_carry + jnp.sum(wd, axis=1, keepdims=True)
   return ChunkGrads(dL_da, c_carry_new)
+
+
+class ChunkBGrads(NamedTuple):
+  B: jax.Array           # (P, G) dL_da_raw * a_raw (the moment field)
+  c_carry: jax.Array     # (P, 1) updated inclusive sum of w*D
+
+
+def chunk_B_grads(w: ChunkWeights, D, E, c_carry, recip) -> ChunkBGrads:
+  """Fused moment field for the non-antialias backward (blending mode).
+
+  The conic moment reduction only needs B = dL_da_raw * a_raw, never
+  dL_da_raw itself, and B factors through quantities chunk_weights_raw
+  already produced: where the gate is open a_raw == a_eff, so
+    B = gate * (a_eff * t_excl * D - a_eff * recip * (E - c_incl))
+      = gate * (w.weight * D - a_eff * recip * (E - c_incl))
+  reusing wd = weight * D (needed for c_incl anyway) — two fewer (P, G)
+  VPU ops per chunk than chunk_alpha_grads + the B product, and the
+  divide is gone (recip = exp(-log1m)). Exact: wd is zero wherever
+  thresh/saturation close the gate, and the clamp case is killed by the
+  leading gate.
+  """
+  wd = w.weight * D
+  c_incl = c_carry + exclusive_cumsum_lanes(wd, passes=1) + wd
+  B = w.gate * (wd - (w.a_eff * recip) * (E - c_incl))
+  c_carry_new = c_carry + jnp.sum(wd, axis=1, keepdims=True)
+  return ChunkBGrads(B, c_carry_new)

@@ -222,12 +222,15 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
 
       if early_exit:
         pl.when(sat_val == SAT_NONE)(compute)
+        saturated = jnp.max(t_vmem[...]) <= 1 - stop_total
+        sat_val = jnp.where((sat_val == SAT_NONE) & saturated,
+                            c_local + 1, sat_val)
       else:
+        # no saturation tracking at all: sat_val stays SAT_NONE, so the
+        # per-tile satiters record the full chunk count (backward replays
+        # everything — the flag is documented as only valid for scenes
+        # that never saturate, where that is already the case)
         compute()
-
-      saturated = jnp.max(t_vmem[...]) <= 1 - stop_total
-      sat_val = jnp.where((sat_val == SAT_NONE) & saturated,
-                          c_local + 1, sat_val)
       return (t, k_open, c_local, sat_val, voff_prev, v_open)
 
     init = (jnp.asarray(-1, jnp.int32), jnp.asarray(0, jnp.int32),

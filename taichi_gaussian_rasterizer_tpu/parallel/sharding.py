@@ -37,6 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RasterConfig
 from ..data_types import Gaussians3D
 from ..models.renderer import render_gaussians
+from ..ops import lib
 from ..ops.projection import CameraParams, project_points
 from ..ops.sh import evaluate_sh_at
 from ..optim import ParameterClass
@@ -93,18 +94,28 @@ def dp_train_step(mesh: Mesh,
     return jnp.mean((r.image - target) ** 2), r
 
   def device_fn(params: ParameterClass, projections, t_cams, targets):
-    # one full fwd+bwd per local camera (unrolled: Pallas kernels don't
-    # vmap; local_batch is small)
+    # one full fwd+bwd per local camera. Pallas kernels don't vmap, but
+    # they scan fine: lax.scan keeps compile time and code size constant
+    # in local_batch (the round-3 unroll grew both linearly).
     keys = ("position", "log_scaling", "rotation", "alpha_logit", "feature")
 
     def total_loss(tensors):
-      losses, vis = [], []
-      for i in range(local_batch):
-        l, r = local_loss(tensors, projections[i], t_cams[i], targets[i])
-        losses.append(l)
-        vis.append(r.point_visibility)
-      v = sum(vis) if vis[0] is not None else None
-      return jnp.mean(jnp.stack(losses)), v
+      n = params.num_points
+
+      def body(carry, cam):
+        loss_acc, vis_acc = carry
+        proj, t_cam, target = cam
+        l, r = local_loss(tensors, proj, t_cam, target)
+        v = r.point_visibility
+        vis_acc = vis_acc + (v if v is not None else 0.0)
+        return (loss_acc + l, vis_acc), None
+
+      (loss_sum, vis), _ = jax.lax.scan(
+          body, (jnp.zeros((), targets.dtype), jnp.zeros((n,), targets.dtype)),
+          (projections, t_cams, targets))
+      if not (config.compute_visibility or config.compute_point_heuristic):
+        vis = None
+      return loss_sum / local_batch, vis
 
     tensors = {k: params.tensors[k] for k in keys}
     (loss, vis), grads = jax.value_and_grad(total_loss, has_aux=True)(tensors)
@@ -132,6 +143,128 @@ def dp_train_step(mesh: Mesh,
 # ---------------------------------------------------------------------------
 # tile parallelism (one frame sharded into image stripes over the mesh)
 # ---------------------------------------------------------------------------
+
+
+def stripe_select(points: jax.Array, y0, stripe_h: int, local_points: int,
+                  alpha_threshold: float):
+  """Indices of the (at most local_points) gaussians whose footprint can
+  touch the stripe [y0, y0 + stripe_h) — the per-device mapper then only
+  emits candidates for its own stripe's gaussians instead of replicating
+  the full N-sized emission on every device.
+
+  The y-extent test is the same conservative ellipse-AABB bound the
+  mapper's footprint uses (ops/mapper._footprint), so selection never
+  drops a gaussian the stripe's mapper would have accepted. Returns
+  (sel (local_points,) int32 indices — padded with indices of
+  non-relevant points, which the stripe mapper SAT-culls — and
+  overflow: True when more than local_points gaussians are relevant,
+  i.e. some were dropped and the stripe is incomplete)."""
+  n = points.shape[0]
+  my = points[:, 1]
+  ax, ay = points[:, 2], points[:, 3]
+  sx, sy = points[:, 4], points[:, 5]
+  alpha = points[:, 6]
+  valid = alpha > alpha_threshold
+  gs = lib.gaussian_scale_factor(alpha, alpha_threshold)
+  r0 = jnp.maximum(sx * gs, 1e-12)
+  r1 = jnp.maximum(sy * gs, 1e-12)
+  ext_y = jnp.sqrt((ay * r0) ** 2 + (ax * r1) ** 2)
+  relevant = valid & (my + ext_y > y0) & (my - ext_y < y0 + stripe_h)
+  overflow = jnp.sum(relevant) > local_points
+  # relevant-first partition; ties keep index order (deterministic)
+  key = (~relevant).astype(jnp.int32)
+  _, sel = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+                        is_stable=True)
+  return sel[:local_points], overflow
+
+
+def tp_train_step(mesh: Mesh, config: RasterConfig,
+                  image_size: Tuple[int, int],
+                  local_points: int,
+                  local_capacity: Optional[int] = None,
+                  axis_name: str = "data"):
+  """Build a jitted tile-parallel TRAINING step for ONE frame: the full
+  fwd+bwd raster pipeline sharded into image stripes, with the training
+  sinks (per-point heuristics + visibility) delivered exactly as in the
+  single-chip trainer.
+
+  Each device selects its stripe's (at most `local_points`) relevant
+  gaussians (stripe_select — mapper emission, candidate sort and overlap
+  capacity are all stripe-local, ~1/mesh of the frame instead of a
+  replicated full mapper), rasterizes the stripe, and computes the
+  stripe's summed-squared-error against its target rows. Losses and
+  per-point gradients/heuristics/visibility psum over ICI (gathers
+  through jnp.take transpose to scatter-adds into the full-N arrays).
+
+  The returned function:
+    step(points2d (N, 7), depth (N,), features (N, F), target (H, W, F))
+      -> (loss, (grad_points, grad_features), heuristics (N, 2) | None,
+          visibility (N,) | None, overflow () bool)
+
+  heuristics/visibility follow config.compute_point_heuristic /
+  compute_visibility. `local_capacity` bounds each stripe's overlap
+  list (None -> the single-stripe heuristic). overflow is True when a
+  stripe had more than local_points relevant gaussians (results valid
+  but incomplete — raise local_points and re-jit, like the capacity
+  flow).
+  """
+  from ..ops.raster import rasterize
+
+  w, h = image_size
+  d = mesh.shape[axis_name]
+  ts = config.tile_size
+  assert h % (d * ts) == 0, (
+      f"image height {h} must split into {d} tile-aligned stripes "
+      f"(multiple of {d * ts})")
+  stripe_h = h // d
+
+  with_heur = config.compute_point_heuristic
+  with_vis = config.compute_visibility or with_heur
+
+  def device_fn(points, depth, features, target):
+    n = points.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    y0 = (idx * stripe_h).astype(points.dtype)
+    sel, overflow = stripe_select(points, y0, stripe_h, local_points,
+                                  config.alpha_threshold)
+
+    def loss_fn(points, features, sink, vsink):
+      p = jnp.take(points, sel, axis=0).at[:, 1].add(-y0)
+      f = jnp.take(features, sel, axis=0)
+      dep = jnp.take(depth, sel, axis=0)
+      out = rasterize(
+          p, dep, f, (w, stripe_h), config, capacity=local_capacity,
+          heuristic_sink=jnp.take(sink, sel, axis=0) if with_heur else None,
+          visibility_sink=jnp.take(vsink, sel, axis=0) if with_vis else None)
+      return jnp.sum((out.image - target) ** 2)
+
+    sink = jnp.zeros((n, 2), points.dtype)
+    vsink = jnp.zeros((n,), points.dtype)
+    loss, (gp, gf, heur, vis) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3))(points, features, sink, vsink)
+
+    loss = jax.lax.psum(loss, axis_name)
+    gp = jax.lax.psum(gp, axis_name)
+    gf = jax.lax.psum(gf, axis_name)
+    heur = jax.lax.psum(heur, axis_name) if with_heur else None
+    vis = jax.lax.psum(vis, axis_name) if with_vis else None
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis_name) > 0
+    out = (loss, (gp, gf))
+    out += (heur,) if with_heur else (None,)
+    out += (vis,) if with_vis else (None,)
+    return out + (overflow,)
+
+  out_specs = (P(), (P(), P()))
+  out_specs += (P(),) if with_heur else (None,)
+  out_specs += (P(),) if with_vis else (None,)
+  out_specs += (P(),)
+  sharded = jax.shard_map(
+      device_fn, mesh=mesh,
+      in_specs=(P(), P(), P(), P(axis_name)),
+      out_specs=out_specs,
+      check_vma=False)
+
+  return jax.jit(sharded)
 
 
 def tp_rasterize(mesh: Mesh, config: RasterConfig,

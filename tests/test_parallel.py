@@ -159,6 +159,114 @@ def test_tp_rasterize_matches_single_device(mesh):
   assert rel(gf_tp, gf_1d) < 2e-2, rel(gf_tp, gf_1d)
 
 
+def test_tp_train_step_matches_single_device(mesh):
+  """Tile-parallel TRAINING parity: loss, per-point gradients, the
+  heuristic sink (prune cost, split score) and visibility from the
+  stripe-sharded step must match the single-device trainer frame. Runs
+  with local_points < N so the test also exercises the stripe-local
+  mapper: each device maps only its own stripe's relevant gaussians."""
+  from taichi_gaussian_rasterizer_tpu.models.renderer2d import (
+      project_gaussians2d)
+  from taichi_gaussian_rasterizer_tpu.ops.raster import rasterize
+  from taichi_gaussian_rasterizer_tpu.parallel import tp_train_step
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_2d_gaussians)
+
+  image_size = (64, 128)  # 8 stripes of 16 rows
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        compute_point_heuristic=True)
+  n = 120
+  g = random_2d_gaussians(jax.random.PRNGKey(8), n, image_size,
+                          num_channels=3, dtype=jnp.float32)
+  points = project_gaussians2d(g)
+  depth = jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0)
+  feats = g.feature
+  target = jax.random.uniform(jax.random.PRNGKey(9),
+                              (image_size[1], image_size[0], 3), jnp.float32)
+
+  # local_points < N: forces the stripe-local selection to actually
+  # compact (fails loudly via overflow if selection under-covers)
+  step = tp_train_step(mesh, config, image_size, local_points=64)
+  loss_tp, (gp_tp, gf_tp), heur_tp, vis_tp, overflow = step(
+      points, depth, feats, target)
+  assert not bool(overflow)
+
+  def loss_1d(p, f, sink, vsink):
+    out = rasterize(p, depth, f, image_size, config,
+                    heuristic_sink=sink, visibility_sink=vsink)
+    return jnp.sum((out.image - target) ** 2)
+
+  l1, (gp_1, gf_1, heur_1, vis_1) = jax.value_and_grad(
+      loss_1d, argnums=(0, 1, 2, 3))(
+          points, feats, jnp.zeros((n, 2)), jnp.zeros((n,)))
+
+  np.testing.assert_allclose(float(loss_tp), float(l1), rtol=1e-5)
+  rel = lambda a, b: float(
+      jnp.abs(a - b).max() / jnp.maximum(jnp.abs(b).max(), 1e-20))
+  # bf16 slot-gradient transport rounds differently under the stripe
+  # shift (cf. test_tp_rasterize_matches_single_device)
+  assert rel(gp_tp, gp_1) < 2e-2, rel(gp_tp, gp_1)
+  assert rel(gf_tp, gf_1) < 2e-2, rel(gf_tp, gf_1)
+  assert rel(heur_tp, heur_1) < 2e-2, rel(heur_tp, heur_1)
+  assert rel(vis_tp, vis_1) < 2e-2, rel(vis_tp, vis_1)
+
+
+def test_tp_train_step_overflow_flag(mesh):
+  """local_points smaller than a stripe's relevant count must flag
+  overflow rather than silently dropping gaussians."""
+  from taichi_gaussian_rasterizer_tpu.models.renderer2d import (
+      project_gaussians2d)
+  from taichi_gaussian_rasterizer_tpu.parallel import tp_train_step
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_2d_gaussians)
+
+  image_size = (64, 128)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  g = random_2d_gaussians(jax.random.PRNGKey(8), 120, image_size,
+                          num_channels=3, dtype=jnp.float32)
+  points = project_gaussians2d(g)
+  depth = jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0)
+  target = jnp.zeros((image_size[1], image_size[0], 3), jnp.float32)
+
+  step = tp_train_step(mesh, config, image_size, local_points=8)
+  *_, overflow = step(points, depth, g.feature, target)
+  assert bool(overflow)
+
+
+def test_stripe_select_covers_mapper_acceptance(mesh):
+  """stripe_select must never drop a gaussian the stripe's mapper would
+  accept (its bound is the mapper's own footprint AABB)."""
+  from taichi_gaussian_rasterizer_tpu.models.renderer2d import (
+      project_gaussians2d)
+  from taichi_gaussian_rasterizer_tpu.ops.mapper import map_to_tiles
+  from taichi_gaussian_rasterizer_tpu.parallel.sharding import stripe_select
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_2d_gaussians)
+
+  image_size = (64, 128)
+  stripe_h = 16
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  n = 150
+  g = random_2d_gaussians(jax.random.PRNGKey(11), n, image_size,
+                          num_channels=3, dtype=jnp.float32)
+  points = project_gaussians2d(g)
+  depth = jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0)
+
+  for k in range(128 // stripe_h):
+    y0 = k * stripe_h
+    sel, overflow = stripe_select(points, float(y0), stripe_h, n,
+                                  config.alpha_threshold)
+    assert not bool(overflow)
+    p_loc = points.at[:, 1].add(-y0)
+    m = map_to_tiles(p_loc, depth, (64, stripe_h), config)
+    accepted = np.unique(np.asarray(m.overlap_to_point))
+    accepted = accepted[accepted < n]
+    # every accepted point must be among the selected ones
+    selected = set(np.asarray(sel).tolist())
+    missing = [int(a) for a in accepted if int(a) not in selected]
+    assert not missing, f"stripe {k}: mapper accepted {missing}"
+
+
 def test_tp_rasterize_visibility_psum(mesh):
   """Per-point visibility from the tile-parallel path must equal the
   single-device visibility (each point's blend weights live in exactly

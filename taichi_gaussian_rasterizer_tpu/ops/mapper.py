@@ -292,9 +292,13 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
 
   # one combined (N, 8) gather of everything emission needs; footprint
   # data is recomputed elementwise on the permuted rows (cheaper than
-  # permuting many narrow arrays — gathers pay per row, compute is free)
+  # permuting many narrow arrays — gathers pay per row, compute is free).
+  # Index count padded off the 128-multiple lane-exact case: XLA's TPU
+  # gather is 2x slower there (PERF.md round 4); +8 dummies then slice.
   pts_depth = jnp.concatenate([points, depth[:, None]], axis=1)  # (N, 8)
-  pts_depth_s = jnp.take(pts_depth, perm, axis=0)
+  perm_pad = jnp.concatenate([perm, jnp.zeros((8,), perm.dtype)]) \
+      if n % 128 == 0 and n > 2_000_000 else perm
+  pts_depth_s = jnp.take(pts_depth, perm_pad, axis=0)[:n]
   points_s = pts_depth_s[:, :7]
   depth_s = pts_depth_s[:, 7]
 

@@ -228,6 +228,24 @@ def build_combined(points: jax.Array, features: jax.Array,
   f_pad = feat_rows(f)
   k_cap = mapping.overlap_to_point.shape[0]
 
+  # gather-index count must NOT be a multiple of 128 on large tables:
+  # XLA's TPU gather emitter takes a 2x slower path for lane-exact index
+  # counts once the point table exceeds the chip's cache reach (measured
+  # 15.3 vs 7.45 ns/idx at a 6M-point table; no effect at <= 3M — PERF.md
+  # round 4; worth ~73 ms/frame on the 6M scene). k_cap is chunk-rounded
+  # (always 128-aligned), so gather 8 extra sentinel slots and slice them
+  # back off. Small tables skip the pad: the extra copy costs ~0.5 ms and
+  # buys nothing while the table is cache-resident.
+  if n > 2_000_000:
+    o2p = jnp.concatenate(
+        [mapping.overlap_to_point, jnp.full((8,), n, jnp.int32)])
+
+    def take_unaligned(tbl):
+      return jnp.take(tbl, o2p, axis=1)[:, :k_cap]
+  else:
+    def take_unaligned(tbl):
+      return jnp.take(tbl, mapping.overlap_to_point, axis=1)
+
   tl = jnp.minimum(mapping.overlap_to_tile, th * tw - 1)
   ox = ((tl % tw) * ts).astype(dtype)
   oy = ((tl // tw) * ts).astype(dtype)
@@ -246,7 +264,7 @@ def build_combined(points: jax.Array, features: jax.Array,
         jnp.concatenate([points, pad7], axis=0),             # (N+1, 7)
         jnp.concatenate([features, jnp.zeros((1, f), dtype)], axis=0),
     ], axis=1).T                                             # (7+F, N+1)
-    gath = jnp.take(live, mapping.overlap_to_point, axis=1)  # (7+F, K)
+    gath = take_unaligned(live)                              # (7+F, K)
 
     mxl = gath[0] - ox
     myl = gath[1] - oy
@@ -269,7 +287,7 @@ def build_combined(points: jax.Array, features: jax.Array,
           [table,
            jnp.concatenate([features, jnp.zeros((1, f), dtype)], axis=0)],
           axis=1)
-    gath = jnp.take(table.T, mapping.overlap_to_point, axis=1)
+    gath = take_unaligned(table.T)
 
     mxl = gath[0] - ox
     myl = gath[1] - oy

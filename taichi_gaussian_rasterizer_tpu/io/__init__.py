@@ -53,6 +53,42 @@ def load_gaussians_ply(path: str, morton_order: bool = True):
       feature=jnp.asarray(feature))
 
 
+def save_gaussians_ply(path: str, gaussians) -> None:
+  """Write a Gaussians3D as a standard binary-LE 3DGS .ply checkpoint
+  (the column layout 3DGS viewers and load_gaussians_ply expect:
+  x/y/z, nx/ny/nz zeros, f_dc_*, f_rest_* SH bands, opacity, scale_*,
+  rot_* in wxyz order). Inverse of load_gaussians_ply."""
+  g = gaussians
+  pos = np.asarray(g.position, np.float32)
+  n = pos.shape[0]
+  feat = np.asarray(g.feature, np.float32)
+  if feat.ndim == 2:                        # plain RGB -> single DC band
+    feat = feat[:, :, None]
+  k = feat.shape[2]
+  dc = feat[:, :, 0]                                        # (n, 3)
+  rest = feat[:, :, 1:].reshape(n, 3 * (k - 1))             # (n, 3*(k-1))
+  rot = np.asarray(g.rotation, np.float32)[:, [3, 0, 1, 2]]  # xyzw -> wxyz
+
+  cols = [("x", pos[:, 0]), ("y", pos[:, 1]), ("z", pos[:, 2]),
+          ("nx", np.zeros(n, np.float32)), ("ny", np.zeros(n, np.float32)),
+          ("nz", np.zeros(n, np.float32))]
+  cols += [(f"f_dc_{i}", dc[:, i]) for i in range(3)]
+  cols += [(f"f_rest_{i}", rest[:, i]) for i in range(rest.shape[1])]
+  cols += [("opacity", np.asarray(g.alpha_logit, np.float32)[:, 0])]
+  cols += [(f"scale_{i}", np.asarray(g.log_scaling, np.float32)[:, i])
+           for i in range(3)]
+  cols += [(f"rot_{i}", rot[:, i]) for i in range(4)]
+
+  header = ["ply", "format binary_little_endian 1.0",
+            f"element vertex {n}"]
+  header += [f"property float {name}" for name, _ in cols]
+  header += ["end_header"]
+  body = np.stack([c for _, c in cols], axis=1).astype("<f4")
+  with open(path, "wb") as f:
+    f.write(("\n".join(header) + "\n").encode())
+    f.write(body.tobytes())
+
+
 __all__ = ["native", "full_cumsum", "load_ply", "morton3d", "ply_info",
            "radix_argsort", "radix_sort_pairs", "segmented_sort_pairs",
-           "load_gaussians_ply"]
+           "load_gaussians_ply", "save_gaussians_ply"]

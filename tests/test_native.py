@@ -115,6 +115,26 @@ def test_load_gaussians_ply(lib, tmp_path):
                          data[:, :3])
 
 
+def test_save_gaussians_ply_roundtrip(lib, tmp_path):
+  """save_gaussians_ply must write checkpoints load_gaussians_ply (and
+  standard 3DGS viewers) read back bit-exactly."""
+  import jax
+  from taichi_gaussian_rasterizer_tpu.io import (load_gaussians_ply,
+                                                 save_gaussians_ply)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians)
+  cam = random_camera(jax.random.PRNGKey(0), image_size=(64, 48))
+  g = random_3d_gaussians(jax.random.PRNGKey(1), 40, cam, sh_degree=2)
+  path = str(tmp_path / "out.ply")
+  save_gaussians_ply(path, g)
+  g2 = load_gaussians_ply(path, morton_order=False)
+  for name in ("position", "log_scaling", "rotation", "alpha_logit",
+               "feature"):
+    np.testing.assert_array_equal(np.asarray(getattr(g2, name)),
+                                  np.asarray(getattr(g, name)),
+                                  err_msg=name)
+
+
 def test_ply_truncated_read_fails(lib, tmp_path):
   """A PLY whose payload is shorter than the header promises must raise,
   not silently return garbage in the tail (tgr_host.cpp short-read)."""

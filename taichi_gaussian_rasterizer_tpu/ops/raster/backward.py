@@ -54,7 +54,8 @@ from ...config import RasterConfig
 from ..mapper import TileMapping
 from . import blend
 from .flat import (COEFF_ROWS, FEAT_ROW0, POINT_ROWS, IterationList,
-                   combined_rows, feat_rows, iteration_capacity, round_up)
+                   combined_rows, feat_rows, iteration_capacity,
+                   pack_iters, round_up, unpack_iters)
 from .forward import DMA_DEPTH, rem, use_interpret
 
 
@@ -81,18 +82,35 @@ def next_nonempty_tile(tile_ranges: jax.Array) -> jax.Array:
 
 def _backward_kernel(config: RasterConfig, f: int,
                      compute_point_heuristic: bool, pack_bf16: bool,
-                     out_rows: int, vis_row: bool = False):
+                     out_rows: int, vis_row: bool = False,
+                     derive_nbwd: bool = False, pack=("nc", 1)):
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
 
-  def kernel(niter_ref, itile_ref, ioff_ref, starts_ref, ends_ref,
-             nbwd_ref, tnext_ref,                        # scalar prefetch
-             comb_hbm, grad_hbm,                         # inputs (ANY)
-             gout_hbm,                                   # output (ANY)
-             comb_vmem, grad_vmem, e_vmem, gout_vmem,    # scratch
-             t_vmem, c_vmem, goff_hist,                  # scratch
-             sem_c, sem_ge, sem_g):
+  def kernel(niter_ref, *args):
+    # Scalar-prefetch SMEM budget (~1 MB) binds at 4096px/49k tiles:
+    # the iteration list arrives packed one int32 per entry
+    # (flat.pack_iters mode `pack`); starts_ref is (n_tiles+1,) (bins
+    # abut, ends[t] == starts[t+1]); with derive_nbwd the per-tile
+    # replay count is computed from the bin instead of prefetched
+    # (saturation_early_exit=False produces no satiters):
+    # nbwd = cdiv(end - align_down(start, g), g).
+    args = list(args)
+    it_ref = args.pop(0)
+    starts_ref = args.pop(0)
+    iter_tile, iter_off = unpack_iters(pack, g, it_ref, starts_ref)
+    nbwd_ref = None if derive_nbwd else args.pop(0)
+    (tnext_ref, comb_hbm, grad_hbm, gout_hbm,
+     comb_vmem, grad_vmem, e_vmem, gout_vmem,
+     t_vmem, c_vmem, goff_hist, sem_c, sem_ge, sem_g) = args
+
+    def tile_nbwd(t):
+      if derive_nbwd:
+        start = starts_ref[t]
+        end = starts_ref[t + 1]
+        return -((-(end - (start // g) * g)) // g)
+      return nbwd_ref[t]
     dtype = comb_vmem.dtype
     n_iter = niter_ref[0]
     out_dtype = gout_vmem.dtype
@@ -114,7 +132,7 @@ def _backward_kernel(config: RasterConfig, f: int,
       basis = blend.pixel_basis(px, py)                      # (P, 8)
 
     def chunk_dma(i, slot):
-      off = pl.multiple_of(ioff_ref[i], g)
+      off = pl.multiple_of(iter_off(i), g)
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
@@ -136,13 +154,13 @@ def _backward_kernel(config: RasterConfig, f: int,
     # warm up the per-tile cotangent pipeline for the first tile
     @pl.when(n_iter > 0)
     def _():
-      t0 = itile_ref[0]
+      t0 = iter_tile(0)
       grad_dma(t0, 0).start()
 
     def body(i, carry):
       t_prev, k_open, c_local, nbwd, goff_prev, g_open = carry
-      t = itile_ref[i]
-      off = ioff_ref[i]
+      t = iter_tile(i)
+      off = iter_off(i)
       slot = rem(i, DMA_DEPTH)
 
       @pl.when(i + DMA_DEPTH - 1 < n_iter)
@@ -173,7 +191,7 @@ def _backward_kernel(config: RasterConfig, f: int,
 
       k_open = jnp.where(new_tile, k_open + 1, k_open)
       c_local = jnp.where(new_tile, 0, c_local + 1)
-      nbwd = jnp.where(new_tile, nbwd_ref[t], nbwd)
+      nbwd = jnp.where(new_tile, tile_nbwd(t), nbwd)
       islot = rem(k_open - 1, 2)
 
       # ---- open/flush the gradient output chunk ------------------------
@@ -204,7 +222,7 @@ def _backward_kernel(config: RasterConfig, f: int,
       # point: gradients there are exactly zero by the blend gates) ------
       def compute():
         start = starts_ref[t]
-        end = ends_ref[t]
+        end = starts_ref[t + 1]
         s_idx = off + lane
         maskb = (s_idx >= start) & (s_idx < end)
         mask = maskb.astype(dtype)
@@ -452,19 +470,26 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
   rows = round_up(stored, 8)
   out_dtype = jnp.uint32 if pack_bf16 else dtype
 
-  if satiters is None:
-    satiters = jnp.full((n_tiles,), jnp.iinfo(jnp.int32).max, jnp.int32)
+  derive_nbwd = satiters is None   # replay everything (no saturation data)
   tnext = next_nonempty_tile(mapping.tile_ranges)
+  starts_ext = jnp.concatenate(
+      [mapping.tile_ranges[:, 0], mapping.tile_ranges[-1:, 1]])
+  packed, pack = pack_iters(iters, g, n_tiles, k_cap, starts_ext)
 
   kernel = _backward_kernel(config, f, compute_point_heuristic, pack_bf16,
-                            rows, vis_row=vis_row)
+                            rows, vis_row=vis_row, derive_nbwd=derive_nbwd,
+                            pack=pack)
 
   f_pad = grad_padded.shape[1]
   p = grad_padded.shape[2]
   assert f_pad == feat_rows(f)
 
+  n_prefetch = (2                                  # n_iter + packed iters
+                + 1                                # starts_ext
+                + (0 if derive_nbwd else 1)        # satiters
+                + 1)                               # tnext
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=7,
+      num_scalar_prefetch=n_prefetch,
       grid=(1,),
       in_specs=[
           pl.BlockSpec(memory_space=pl.ANY),
@@ -485,6 +510,9 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
       ],
   )
 
+  prefetch = (iters.n_iter, packed, starts_ext)
+  if not derive_nbwd:
+    prefetch += (satiters,)
   gout = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,
@@ -492,9 +520,6 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(iters.n_iter, iters.iter_tile, iters.iter_off,
-    mapping.tile_ranges[:, 0], mapping.tile_ranges[:, 1],
-    satiters, tnext,
-    combined, grad_padded)
+  )(*prefetch, tnext, combined, grad_padded)
 
   return gout

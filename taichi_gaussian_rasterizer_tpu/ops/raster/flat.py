@@ -69,6 +69,59 @@ class IterationList(NamedTuple):
   iter_off: jax.Array   # (I_cap,) int32 chunk-aligned slot offset
 
 
+def pack_iters(iters: IterationList, g: int, n_tiles: int, k_cap: int,
+               starts_ext: jax.Array):
+  """Pack each (tile, offset) entry into ONE int32, halving the
+  iteration list's scalar-prefetch SMEM — which binds at 4096px (49k
+  tiles: the two-array layout + per-tile bins exceed Mosaic's ~1 MB SMEM
+  budget and the kernel fails to compile). Returns (packed, mode):
+
+  * mode ("nc", nc): `tile * nc + global_chunk` with nc = k_cap // g
+    chunks — exact for any iteration list, used while the product fits
+    int32 (decode is one constant division).
+  * mode ("j15",): `tile * 2^15 + local_chunk` — per-tile entries step
+    by exactly g from align_down(starts[tile], g) (build_iteration_list
+    sorts each tile's chunks contiguously), so the kernel reconstructs
+    the offset from the prefetched starts array. Fits int32 for the
+    mapper-asserted <= 65535 tiles at ANY capacity. Bound: one tile
+    spanning > 2^15 chunks (4.19M slots in a single 16x16-px tile)
+    would clamp — far beyond any supported occupancy.
+  """
+  nc = max(k_cap // g, 1)
+  if (n_tiles + 1) * nc < 2 ** 31:
+    return iters.iter_tile * nc + iters.iter_off // g, ("nc", nc)
+  assert n_tiles <= 65535, "pack_iters: tile count exceeds int32 packing"
+  aligned = (jnp.take(starts_ext, iters.iter_tile) // g) * g
+  j = jnp.clip((iters.iter_off - aligned) // g, 0, 2 ** 15 - 1)
+  return iters.iter_tile * 2 ** 15 + j, ("j15",)
+
+
+def unpack_iters(pack, g: int, it_ref, starts_ref):
+  """In-kernel decoders for a pack_iters stream: (iter_tile, iter_off)
+  scalar-index functions over the packed SMEM ref (and the extended
+  starts ref for j15 mode)."""
+  if pack[0] == "nc":
+    nc = pack[1]
+
+    def iter_tile(i):
+      return it_ref[i] // nc
+
+    def iter_off(i):
+      v = it_ref[i]
+      return (v - (v // nc) * nc) * g
+  else:                                   # ("j15",)
+    J = 2 ** 15
+
+    def iter_tile(i):
+      return it_ref[i] // J
+
+    def iter_off(i):
+      v = it_ref[i]
+      t = v // J
+      return (starts_ref[t] // g) * g + (v - t * J) * g
+  return iter_tile, iter_off
+
+
 def build_iteration_list(mapping: TileMapping, g: int) -> IterationList:
   """Flatten the mapper's abutting bins into (tile, chunk) entries.
 

@@ -52,7 +52,8 @@ from ..mapper import TileMapping
 from . import blend
 from .flat import (COEFF_ROWS, FEAT_ROW0, POINT_ROWS, IterationList,
                    build_combined, build_iteration_list, combined_rows,
-                   feat_rows, iteration_capacity, round_up)
+                   feat_rows, iteration_capacity, pack_iters, round_up,
+                   unpack_iters)
 
 DMA_DEPTH = 4
 SAT_NONE = jnp.iinfo(jnp.int32).max
@@ -72,7 +73,10 @@ def rem(a, b: int):
 
 
 def _forward_kernel(config: RasterConfig, feature_size: int,
-                    compute_visibility: bool):
+                    compute_visibility: bool, pack=("nc", 1)):
+  """pack: flat.pack_iters decode mode — ("nc", nc) or ("j15",); the
+  iteration list arrives packed one int32 per entry (SMEM binds at
+  4096px / 49k tiles)."""
   ts = config.tile_size
   p = ts * ts
   g = config.points_per_chunk
@@ -82,12 +86,17 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
   early_exit = config.saturation_early_exit
   f_pad = feat_rows(feature_size)
 
-  def kernel(niter_ref, itile_ref, ioff_ref, starts_ref, ends_ref,
+  def kernel(niter_ref, it_ref, starts_ref,
              comb_hbm,                                  # input (ANY)
              img_hbm, vis_hbm, sat_ref,                 # outputs
              comb_vmem, img_vmem, vis_vmem, t_vmem,     # scratch
              t_hist, voff_hist,                         # SMEM scratch
              sem_c, sem_img, sem_v):
+    iter_tile, iter_off = unpack_iters(pack, g, it_ref, starts_ref)
+
+    # starts_ref is (n_tiles + 1,): bins abut, so ends[t] == starts[t+1]
+    # (one n_tiles-sized SMEM array instead of two — the scalar-prefetch
+    # SMEM budget binds at 4096px / 49k tiles)
     dtype = comb_vmem.dtype
     n_iter = niter_ref[0]
 
@@ -100,7 +109,7 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
     ones_row = jnp.ones((1, g), dtype)
 
     def chunk_dma(i, slot):
-      off = pl.multiple_of(ioff_ref[i], g)
+      off = pl.multiple_of(iter_off(i), g)
       return pltpu.make_async_copy(
           comb_hbm.at[:, pl.ds(off, g)], comb_vmem.at[slot], sem_c.at[slot])
 
@@ -120,8 +129,8 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
 
     def body(i, carry):
       t_prev, k_open, c_local, sat_val, voff_prev, v_open = carry
-      t = itile_ref[i]
-      off = ioff_ref[i]
+      t = iter_tile(i)
+      off = iter_off(i)
       slot = rem(i, DMA_DEPTH)
 
       @pl.when(i + DMA_DEPTH - 1 < n_iter)
@@ -139,7 +148,8 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
         @pl.when(k_open >= 1)
         def _():
           # per-tile saturation count for the backward's chunk skipping
-          sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
+          if early_exit:
+            sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
           img_flush(t_prev, 1 - islot_new).start()
 
         @pl.when(k_open >= 2)
@@ -184,7 +194,7 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
       # gates — skipped chunks have exactly-zero weights/visibility) ------
       def compute():
         start = starts_ref[t]
-        end = ends_ref[t]
+        end = starts_ref[t + 1]
         s_idx = off + lane
         mask = ((s_idx >= start) & (s_idx < end)).astype(dtype)
         t_carry = t_vmem[...]
@@ -242,7 +252,10 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
     # ---- drain: close the last tile / vis chunk, wait all flushes -------
     @pl.when(k_open >= 1)
     def _():
-      sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
+      if early_exit:
+        sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
+      else:
+        sat_ref[0] = 0   # dummy (1,) output: satiters derived downstream
       last = rem(k_open - 1, 2)
       img_flush(t_prev, last).start()
       img_flush(t_prev, last).wait()
@@ -292,10 +305,17 @@ def rasterize_tiles_flat(combined: jax.Array, iters: IterationList,
   assert combined.shape == (combined_rows(feature_size), k_cap)
   assert iters.iter_tile.shape[0] == iteration_capacity(k_cap, g, n_tiles)
 
-  kernel = _forward_kernel(config, feature_size, compute_visibility)
+  # bins abut: one (n_tiles + 1,) starts array carries ends too (halves
+  # the per-tile scalar-prefetch SMEM, which binds at 49k tiles)
+  starts_ext = jnp.concatenate(
+      [mapping.tile_ranges[:, 0], mapping.tile_ranges[-1:, 1]])
+  packed, pack = pack_iters(iters, g, n_tiles, k_cap, starts_ext)
+  kernel = _forward_kernel(config, feature_size, compute_visibility,
+                           pack=pack)
+  n_sat = n_tiles if config.saturation_early_exit else 1
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=5,
+      num_scalar_prefetch=3,
       grid=(1,),
       in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=[
@@ -322,18 +342,19 @@ def rasterize_tiles_flat(combined: jax.Array, iters: IterationList,
       out_shape=(
           jax.ShapeDtypeStruct((n_tiles, f_pad, p), dtype),
           jax.ShapeDtypeStruct((1, k_cap), dtype),
-          jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+          jax.ShapeDtypeStruct((n_sat,), jnp.int32),
       ),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("arbitrary",)),
       interpret=use_interpret(),
-  )(iters.n_iter, iters.iter_tile, iters.iter_off,
-    mapping.tile_ranges[:, 0], mapping.tile_ranges[:, 1], combined)
+  )(iters.n_iter, packed, starts_ext, combined)
 
   # the kernel never touches empty tiles; zero-select them (one fused
   # bandwidth pass — cheaper and simpler than output aliasing)
   nonempty = mapping.tile_ranges[:, 1] > mapping.tile_ranges[:, 0]
   tiled = jnp.where(nonempty[:, None, None], tiled, 0)
+  if not config.saturation_early_exit:
+    satiters = None   # backward derives full replay counts from the bins
   return tiled, (vis if compute_visibility else None), satiters
 
 

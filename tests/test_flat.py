@@ -16,7 +16,7 @@ import pytest
 
 from taichi_gaussian_rasterizer_tpu.ops.mapper import TileMapping
 from taichi_gaussian_rasterizer_tpu.ops.raster.flat import (
-    build_iteration_list, cdiv)
+    build_iteration_list, cdiv, pack_iters, unpack_iters)
 
 
 def make_mapping(starts, ends, k_cap):
@@ -95,3 +95,69 @@ def test_owner_random_property(seed):
                 max(g, cdiv(total, g) * g + 2 * g),    # slack
                 max(g, (total // (2 * g)) * g or g)}:  # cropped
     check_coverage(starts, ends, k_cap, g)
+
+
+def iter_arrays(mapping, g):
+  iters = build_iteration_list(mapping, g)
+  starts_ext = jnp.concatenate(
+      [mapping.tile_ranges[:, 0], mapping.tile_ranges[-1:, 1]])
+  return iters, starts_ext
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pack_iters_modes_agree(seed):
+  """Both packed encodings must decode to the raw (tile, offset) arrays
+  for every valid entry. j15 is forced by lying about k_cap (the mode
+  choice uses only the static (n_tiles+1) * (k_cap // g) product)."""
+  rng = np.random.default_rng(seed)
+  g = 4
+  n_tiles = int(rng.integers(2, 24))
+  lens = rng.integers(0, 3 * g, size=n_tiles)
+  lens[rng.random(n_tiles) < 0.3] = 0
+  ends = np.cumsum(lens).astype(np.int64)
+  starts = np.concatenate([[0], ends[:-1]])
+  k_cap = max(g, cdiv(int(ends[-1]), g) * g)
+  mapping = make_mapping(starts, ends, k_cap)
+  iters, starts_ext = iter_arrays(mapping, g)
+  n_iter = int(iters.n_iter[0])
+
+  for fake_cap in (k_cap, 2 ** 31):   # "nc" mode, then forced "j15"
+    packed, mode = pack_iters(iters, g, n_tiles, fake_cap, starts_ext)
+    assert mode[0] == ("nc" if fake_cap == k_cap else "j15")
+    it = np.asarray(packed)
+    se = np.asarray(starts_ext)
+    iter_tile, iter_off = unpack_iters(mode, g, it, se)
+    for i in range(n_iter):
+      assert int(iter_tile(i)) == int(iters.iter_tile[i]), (mode, i)
+      assert int(iter_off(i)) == int(iters.iter_off[i]), (mode, i)
+
+
+def test_forced_j15_render_matches(monkeypatch):
+  """Full render + grads through the Pallas kernels with the j15 packing
+  forced (normally only reached at 49k-tile / multi-million-slot scales):
+  must be bit-identical to the nc-mode render."""
+  import taichi_gaussian_rasterizer_tpu as tgr
+  from taichi_gaussian_rasterizer_tpu.ops.raster import backward, forward
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians)
+
+  cfg = tgr.RasterConfig(tile_size=16, points_per_chunk=8)
+  cam = random_camera(jax.random.PRNGKey(0), image_size=(96, 64))
+  g = random_3d_gaussians(jax.random.PRNGKey(1), 500, cam)
+
+  def loss(g):
+    r = tgr.render_gaussians(g, cam, cfg, capacity=8192)
+    return jnp.sum(r.image ** 2), r.image
+
+  (v0, img0), gr0 = jax.jit(jax.value_and_grad(loss, has_aux=True))(g)
+
+  orig = pack_iters
+  force = lambda iters, gg, n_tiles, k_cap, se: orig(
+      iters, gg, n_tiles, 2 ** 31, se)
+  monkeypatch.setattr(forward, "pack_iters", force)
+  monkeypatch.setattr(backward, "pack_iters", force)
+  (v1, img1), gr1 = jax.jit(jax.value_and_grad(loss, has_aux=True))(g)
+
+  np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+  for a, b in zip(jax.tree.leaves(gr0), jax.tree.leaves(gr1)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -227,12 +227,24 @@ def _sat_accept(lo_x, lo_y, ib, tile_size):
 
 def _partition_by_bucket(p: jax.Array):
   """Permutation grouping gaussians by footprint bucket (ascending),
-  via one small 2-operand sort."""
+  via one small 2-operand sort.
+
+  Within each bucket the order is deliberately SCRAMBLED (hash tiebreak
+  in the sort key): a stable bucket sort leaves the permutation mostly
+  monotone (most points are bucket 0), and XLA's TPU gather runs ~1.7x
+  slower on monotone index runs once the table exceeds cache reach
+  (measured at 6M points: 13.2 ns/idx identity-ish vs 7.6 scrambled /
+  random — the same pathology as the round-3 fully-sorted finding,
+  worth ~33 ms on the 6M frame's (N, 8) permutation gather). Emission
+  correctness is order-free within a bucket: budgets are constant per
+  bucket and probe_emit_tails counts points, not positions."""
   n = p.shape[0]
   bucket = jnp.sum((p[:, None] > jnp.asarray(_BUDGETS[:-1], p.dtype)),
-                   axis=1).astype(jnp.int32)
-  _, perm = jax.lax.sort(
-      (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True)
+                   axis=1).astype(jnp.uint32)
+  idx = jnp.arange(n, dtype=jnp.int32)
+  h = (idx.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 12
+  key = (bucket << 20) | (h & jnp.uint32(0xFFFFF))
+  _, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
   return perm
 
 

@@ -485,9 +485,12 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   # (the reduction sorts slot VALUES by overlap_to_point in
   # raster/function.py — on TPU, carrying values through lax.sort is
   # ~3x cheaper than a point-permutation gather afterwards)
-  # accepted counts per original point: invert the bucket permutation
-  counts_orig = jnp.zeros((n,), jnp.int32).at[perm].set(
-      accepted_s, unique_indices=True, indices_are_sorted=False)
+  # accepted counts per original point: invert the bucket permutation.
+  # One 2-operand sort keyed on the (unique) permutation — XLA lowers
+  # the equivalent scatter to a sort-based path that measures ~4x
+  # slower (43.5 -> 11 ms at 6M points on TPU v5e)
+  _, counts_orig = jax.lax.sort((perm, accepted_s), num_keys=1,
+                                is_stable=False)
   point_offsets = jnp.concatenate(
       [jnp.zeros((1,), jnp.int32),
        jnp.cumsum(counts_orig).astype(jnp.int32)])

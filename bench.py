@@ -59,7 +59,8 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   compute_point_heuristic on, the heuristic sink differentiated
   alongside the gaussians."""
   from taichi_gaussian_rasterizer_tpu import (
-      map_to_tiles, probe_emit_tails, project_to_image, render_gaussians)
+      map_to_tiles, probe_emit_tails, probe_reduce_capacity,
+      project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.utils import morton
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
       random_camera, random_3d_gaussians)
@@ -90,6 +91,15 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   print(f"[{label}] n={n}: overlaps={total} ({total / n:.2f}/pt) "
         f"-> capacity={capacity} emit_tails={emit_tails}", file=sys.stderr)
 
+  # saturating scenes: the backward's gradient reduction runs over only
+  # the replayed pre-saturation chunks (probe + re-jit, like capacity)
+  reduce_capacity = None
+  if config.saturation_early_exit:
+    reduce_capacity = min(
+        probe_reduce_capacity(pts, probe_map, config), capacity)
+    print(f"[{label}] reduce_capacity={reduce_capacity} "
+          f"({reduce_capacity / capacity:.2f} of K)", file=sys.stderr)
+
   if training:
     config = config.replace(compute_point_heuristic=True)
 
@@ -103,7 +113,8 @@ def bench_scene(n, image_size, config, iters=20, training=False,
         # visibility via sink: rides the backward's gradient reduction
         r = render_gaussians(g, camera, config, capacity=capacity,
                              emit_tails=emit_tails, heuristic_sink=s,
-                             visibility_sink=vs)
+                             visibility_sink=vs,
+                             reduce_capacity=reduce_capacity)
         return jnp.vdot(r.image, g_image)
 
       g, heur, vis = jax.grad(loss, argnums=(0, 1, 2))(
@@ -112,7 +123,8 @@ def bench_scene(n, image_size, config, iters=20, training=False,
 
     def loss(g):
       r = render_gaussians(g, camera, config, capacity=capacity,
-                           emit_tails=emit_tails)
+                           emit_tails=emit_tails,
+                           reduce_capacity=reduce_capacity)
       return jnp.vdot(r.image, g_image)
 
     g = jax.grad(loss)(gaussians)

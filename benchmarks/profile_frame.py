@@ -22,11 +22,15 @@ def main():
   ap.add_argument("--depth16", action="store_true")
   ap.add_argument("--training", action="store_true",
                   help="visibility + heuristic sink (config #4/#5 mode)")
+  ap.add_argument("--heavy", action="store_true",
+                  help="bench.py heavy regime: reference rasterizer-bench "
+                       "scene (scale_factor=4, alpha 0.75-0.99), "
+                       "saturation_early_exit=True")
   args = ap.parse_args()
 
   from taichi_gaussian_rasterizer_tpu import (
-      RasterConfig, map_to_tiles, probe_emit_tails, project_to_image,
-      render_gaussians)
+      RasterConfig, map_to_tiles, probe_emit_tails, probe_reduce_capacity,
+      project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.models.renderer import (
       render_with_heuristics)
   from taichi_gaussian_rasterizer_tpu.utils import morton
@@ -38,9 +42,11 @@ def main():
   config = RasterConfig(tile_size=16, points_per_chunk=128,
                         compute_visibility=args.training,
                         compute_point_heuristic=args.training,
-                        saturation_early_exit=False)  # bench.py config
+                        saturation_early_exit=args.heavy)  # bench.py configs
   camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
-  g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
+  scene = (dict(scale_factor=4.0, alpha_range=(0.75, 0.99))
+           if args.heavy else {})
+  g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera, **scene)
   order = morton.argsort(g.position)
   g = jax.tree.map(lambda x: jnp.take(x, order, axis=0), g)
 
@@ -48,17 +54,23 @@ def main():
       lambda gg: project_to_image(gg, camera, config))(g)
   emit_tails = probe_emit_tails(pts, image_size, config)
   probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
-                           capacity=6 * n, emit_tails=emit_tails)
+                           capacity=16 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
   capacity = int((int(total * 1.0625) + 1023) // 1024 * 1024)
-  print(f"overlaps={total} capacity={capacity}")
+  reduce_capacity = None
+  if config.saturation_early_exit:
+    reduce_capacity = min(
+        probe_reduce_capacity(pts, probe_map, config), capacity)
+  print(f"overlaps={total} capacity={capacity} "
+        f"reduce_capacity={reduce_capacity}")
 
   @jax.jit
   def train_frame(gaussians, g_image):
     def loss(gg):
       r = render_gaussians(gg, camera, config, capacity=capacity,
                            emit_tails=emit_tails,
-                           use_depth16=args.depth16)
+                           use_depth16=args.depth16,
+                           reduce_capacity=reduce_capacity)
       return jnp.vdot(r.image, g_image)
 
     grads = jax.grad(loss)(gaussians)

@@ -16,7 +16,8 @@ from .ops import (CameraParams, project_to_image, project_points,
                   evaluate_sh_at)
 from .ops.mapper import (TileMapping, map_to_tiles, pad_to_tile,
                          probe_emit_tails)
-from .ops.raster import RasterOut, rasterize, rasterize_with_tiles
+from .ops.raster import (RasterOut, probe_reduce_capacity, rasterize,
+                         rasterize_with_tiles)
 from .models import (Rendering, render_gaussians, render_projected,
                      render_with_heuristics, viewspace_gradient)
 from .utils import runtime  # the reference's TaichiQueue role (init/debug)
@@ -37,6 +38,7 @@ __all__ = [
     "pad_to_tile",
     "runtime",
     "RasterOut",
+    "probe_reduce_capacity",
     "rasterize",
     "rasterize_with_tiles",
     "Rendering",

@@ -138,7 +138,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      heuristic_sink: Optional[jax.Array] = None,
                      visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
-                     emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
+                     emit_tails: Optional[Tuple[int, ...]] = None,
+                     reduce_capacity: Optional[int] = None) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:183-231).
 
   `point_heuristic` in the returned record is always None here: in the
@@ -167,7 +168,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
 
   raster = rasterize_with_tiles(
       gaussians2d, features, mapping, camera_params.image_size, config,
-      heuristic_sink=heuristic_sink, visibility_sink=visibility_sink)
+      heuristic_sink=heuristic_sink, visibility_sink=visibility_sink,
+      reduce_capacity=reduce_capacity)
 
   median_depth = None
   if render_median_depth:
@@ -211,7 +213,8 @@ def render_gaussians(gaussians: Gaussians3D,
                      heuristic_sink: Optional[jax.Array] = None,
                      visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
-                     emit_tails: Optional[Tuple[int, ...]] = None) -> Rendering:
+                     emit_tails: Optional[Tuple[int, ...]] = None,
+                     reduce_capacity: Optional[int] = None) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:134-170).
 
   features are degree-inferred SH coefficients when use_sh=True (shaded
@@ -235,7 +238,8 @@ def render_gaussians(gaussians: Gaussians3D,
       render_depth=render_depth, use_depth16=use_depth16,
       render_median_depth=render_median_depth,
       heuristic_sink=heuristic_sink, visibility_sink=visibility_sink,
-      capacity=capacity, emit_tails=emit_tails)
+      capacity=capacity, emit_tails=emit_tails,
+      reduce_capacity=reduce_capacity)
 
 
 def render_with_heuristics(loss_fn, gaussians: Gaussians3D,

@@ -53,8 +53,14 @@ from . import lib
 
 TILE_SENTINEL = jnp.iinfo(jnp.int32).max
 
-# candidate budgets per footprint bucket (tiles per gaussian enumerated)
-_BUDGETS = (1, 2, 4, 16, 64, 256)
+# candidate budgets per footprint bucket (tiles per gaussian enumerated).
+# A fine ladder keeps the sentinel slack of the candidate stream small:
+# every gaussian pays the smallest budget >= its footprint, and the
+# K-proportional candidate sort is the heavy-regime frame's largest op
+# (saturating scenes sit at median span ~12 — the old (1, 2, 4, 16, 64,
+# 256) ladder emitted 24.85M candidates for 12.19M real spans at
+# 1M @2048 heavy; this ladder emits 16.07M, measured in PERF.md r4).
+_BUDGETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 # For large N, later rounds only process a static tail of the
 # footprint-sorted order (gaussians beyond it get cropped + flagged);
 # for small N every round covers everything — the work is negligible.
@@ -62,7 +68,10 @@ _BUDGETS = (1, 2, 4, 16, 64, 256)
 # ~1.7 overlaps/point), and a 2-candidate round 0 pushed one guaranteed
 # sentinel per span-1 gaussian through the candidate sort.
 _SMALL_N = 4096
-_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 4, 1.0 / 8, 1.0 / 32, 1.0 / 256)
+_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 4, 1.0 / 4,
+                   1.0 / 8, 1.0 / 8, 1.0 / 8, 1.0 / 8,
+                   1.0 / 32, 1.0 / 32, 1.0 / 32, 1.0 / 32,
+                   1.0 / 256, 1.0 / 256, 1.0 / 256, 1.0 / 256)
 _N_ROUNDS = len(_BUDGETS)
 
 
@@ -402,8 +411,16 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
                jnp.broadcast_to(depc, tile_id.shape))
       return key, pv, accept
 
-    if j_hi - j_lo <= 4:
-      # the high-volume narrow rounds: one 1-D column per j, unrolled
+    # 1-D unrolled columns for narrow rounds AND any round whose tail is
+    # large: the 2-D (tail, width) layout runs elementwise ops at
+    # width/128 lane utilization, which is fine for small static tails
+    # but was a measured ~15 ms parade of 0.8 ms broadcast/mul ops on
+    # saturating scenes (PERF.md r4) where mid-width rounds carry ~1M
+    # gaussians. Thresholds are static (emit_tails/lo_q are python ints).
+    tail = sx.shape[0]
+    if j_hi - j_lo <= 4 or (j_hi - j_lo <= 16 and tail * (j_hi - j_lo)
+                            > 1_000_000):
+      # one 1-D column per j, unrolled
       keys_j, pv_j, acc = [], [], jnp.zeros(sx.shape, jnp.int32)
       for j in range(j_lo, j_hi):
         if j == 0:

@@ -1,10 +1,12 @@
-from .function import RasterOut, rasterize, rasterize_with_tiles
+from .function import (RasterOut, probe_reduce_capacity, rasterize,
+                       rasterize_with_tiles)
 from .forward import rasterize_tiles_pallas
 from .xla_impl import rasterize_tiles_xla
 from . import blend, tiles
 
 __all__ = [
     "RasterOut",
+    "probe_reduce_capacity",
     "rasterize",
     "rasterize_with_tiles",
     "rasterize_tiles_pallas",

@@ -26,10 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...config import RasterConfig
-from ..mapper import TileMapping, map_to_tiles
+from ..mapper import TileMapping, _searchsorted_two_level, map_to_tiles
 from . import tiles
 from .backward import live_grad_rows, raster_backward_pallas
-from .flat import build_combined, build_iteration_list, feat_rows, round_up
+from .flat import (build_combined, build_iteration_list, cdiv, feat_rows,
+                   round_up)
 from .forward import rasterize_tiles_flat
 from .reduce import segment_sums_by_sorted_key
 
@@ -54,38 +55,165 @@ def reduce_slots_by_point(slots: jax.Array, mapping: TileMapping) -> jax.Array:
   dense per-point sums via one-hot matmuls (replacing a K-wide cumsum +
   an (N+1)-wide boundary gather, ~13 ms each at 3M slots). Sentinel
   slots sort past every real slot; point_offsets never reach them."""
-  out = _sort_and_segment(slots, mapping)
-  return out.T                                               # (N, R)
+  return _reduce_rows(slots, mapping.overlap_to_point,
+                      mapping.point_sentinel, slots.shape[0],
+                      offsets=mapping.point_offsets)
 
 
-def _sort_and_segment(slots: jax.Array, mapping: TileMapping) -> jax.Array:
-  """Sort slot rows by point index and segment-sum them: (R', N)."""
+def _sort_and_segment(slots: jax.Array, keys: jax.Array, n: int,
+                      offsets: Optional[jax.Array] = None) -> jax.Array:
+  """Sort slot rows by point index and segment-sum them: (R', N).
+
+  With `offsets` (the mapper's (N+1,) point_offsets) the segment
+  boundaries are known a priori; without it (the compacted reduction —
+  only a subset of slots is present, so the mapper's counts are stale)
+  the 128-point block offsets the kernel needs are recovered from the
+  sorted keys with the mapper's two-level search (~1 ms at 1M blocks'
+  worth of queries — jnp.searchsorted would be a multi-ms while-loop).
+  """
   r = slots.shape[0]
-  n = mapping.point_sentinel
   # is_stable=False: measured 19.3 -> 16.9 ms at 3.06M x 6 operands on
   # TPU v5e; the per-point sums are order-independent
   ops = jax.lax.sort(
-      (mapping.overlap_to_point,) + tuple(slots[i] for i in range(r)),
+      (keys,) + tuple(slots[i] for i in range(r)),
       num_keys=1, is_stable=False)
-  keys = ops[0]
-  grouped = jnp.stack(ops[1:], axis=0)                       # (R, K_cap)
-  return segment_sums_by_sorted_key(keys, grouped,
-                                    mapping.point_offsets, n)
+  skeys = ops[0]
+  grouped = jnp.stack(ops[1:], axis=0)                       # (R, K)
+  if offsets is not None:
+    return segment_sums_by_sorted_key(skeys, grouped, offsets, n)
+  n_blocks = cdiv(n, 128)
+  blocks = jnp.where(skeys >= n, n_blocks, skeys // 128)     # ascending
+  block_off = _searchsorted_two_level(blocks, n_blocks)      # (W+1,)
+  return segment_sums_by_sorted_key(skeys, grouped, None, n,
+                                    block_offsets=block_off)
+
+
+def _reduce_rows(rows_arr: jax.Array, keys: jax.Array, n: int, live: int,
+                 offsets: Optional[jax.Array] = None) -> jax.Array:
+  """Sort + segment-sum slot rows (u32 rows = bf16 pairs, backward.py):
+  (R, K) by (K,) point keys -> (N, live) f32 per-point sums."""
+  out = _sort_and_segment(rows_arr, keys, n, offsets)
+  if rows_arr.dtype == jnp.uint32:
+    # the segment kernel unpacks bf16 pairs losslessly and returns
+    # high/low half blocks to deinterleave (rows hi0, lo0, hi1, ...)
+    r_pad = out.shape[0] // 2
+    inter = jnp.stack([out[:r_pad], out[r_pad:]], axis=1)
+    out = inter.reshape(2 * r_pad, -1)
+  return out[:live].T                           # (N, live)
 
 
 def reduce_packed_slots_by_point(packed: jax.Array, mapping: TileMapping,
                                  live: int) -> jax.Array:
-  """(P_pairs, K_cap) u32 bf16-pair gradient rows -> (N, live) f32 sums.
+  """(P_pairs, K_cap) u32 bf16-pair gradient rows -> (N, live) f32 sums."""
+  return _reduce_rows(packed, mapping.overlap_to_point,
+                      mapping.point_sentinel, live,
+                      offsets=mapping.point_offsets)
 
-  The bf16 pair packing (backward.py) halves the sort's payload columns;
-  the segment kernel unpacks losslessly (bf16 values through a single
-  exact MXU pass) and returns high/low half blocks to deinterleave."""
-  r = packed.shape[0]
-  out = _sort_and_segment(packed, mapping)      # (2 * R_pad8, N) f32
-  r_pad = out.shape[0] // 2
-  inter = jnp.stack([out[:r_pad], out[r_pad:]], axis=1)
-  inter = inter.reshape(2 * r_pad, -1)          # rows hi0, lo0, hi1, ...
-  return inter[:live].T                         # (N, live)
+
+def _visited_chunk_select(iters, satiters: jax.Array, mapping: TileMapping,
+                          g: int):
+  """Which slot chunks does the saturation-skipping backward visit?
+
+  A chunk is visited iff ANY iteration-list entry over it replays
+  (entry's within-tile index < satiters[tile] — exactly the backward
+  kernel's skip predicate). Entries over one chunk are consecutive in
+  the (tile, offset)-sorted list (flat.build_iteration_list), so the
+  per-chunk OR is a tiny segment max over same-offset runs.
+
+  Returns (keep (I_cap,) bool marking each visited chunk's first entry,
+  src_chunk (I_cap,) int32 chunk index, count () int32 visited chunks).
+  """
+  starts = mapping.tile_ranges[:, 0]
+  n_tiles = starts.shape[0]
+  t = iters.iter_tile
+  off = iters.iter_off
+  real = t < n_tiles                  # padding entries carry tile n_tiles
+  tc = jnp.minimum(t, n_tiles - 1)
+  # within-tile entry index: per-tile entries step by exactly g from
+  # align_down(starts[tile], g) (flat.pack_iters invariant)
+  aligned = (jnp.take(starts, tc) // g) * g
+  c_local = (off - aligned) // g
+  visited = real & (c_local < jnp.take(satiters, tc))
+  is_first = jnp.concatenate(
+      [jnp.ones((1,), bool), (off[1:] != off[:-1]) | ~real[1:]])
+  rid = jnp.cumsum(is_first.astype(jnp.int32)) - 1           # run ids
+  run_any = jnp.zeros((t.shape[0],), jnp.int32).at[rid].max(
+      visited.astype(jnp.int32), indices_are_sorted=True)
+  keep = is_first & (jnp.take(run_any, rid) > 0)
+  return keep, off // g, jnp.sum(keep.astype(jnp.int32))
+
+
+def compact_visited_slots(rows_arr: jax.Array, satiters: jax.Array,
+                          iters, mapping: TileMapping, g: int,
+                          reduce_capacity: int):
+  """Drop never-replayed slot chunks before the gradient reduction.
+
+  In saturating scenes (real opaque 3DGS checkpoints) the backward
+  replays only each tile's pre-saturation front — the rest of the
+  per-slot gradient buffer is exactly zero (the blend gates), yet it
+  still rides the K_cap-sized reduction sort (the largest single op of
+  the heavy-regime frame: 67.9 ms of 347.7 at 11.8M slots, PERF.md
+  round 4). This compacts the visited chunks to the front with two
+  CHUNK-granular gathers (~130-lane rows, ~0.5 ms) so the sort and
+  segment-sum run at the visited count instead of K_cap.
+
+  reduce_capacity (static, multiple of g) bounds the visited-slot
+  count; size it with probe_reduce_capacity and re-jit, exactly like
+  the mapper's overlap capacity. Chunks past it are dropped (valid but
+  cropped gradients, same contract as mapper overflow).
+
+  Returns (pid (K_red,) int32 point keys with sentinel padding,
+  vals (R, K_red) compacted rows).
+  """
+  k_cap = mapping.overlap_to_point.shape[0]
+  n_chunks = k_cap // g
+  n = mapping.point_sentinel
+  assert reduce_capacity % g == 0 and reduce_capacity <= k_cap
+  cap_chunks = reduce_capacity // g
+
+  keep, src_chunk, count = _visited_chunk_select(iters, satiters, mapping, g)
+  dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
+  idx = jnp.where(keep & (dst < cap_chunks), dst, cap_chunks)  # OOB: dropped
+  compact_src = jnp.zeros((cap_chunks,), jnp.int32).at[idx].set(
+      src_chunk, mode="drop")
+
+  pid = jnp.take(mapping.overlap_to_point.reshape(n_chunks, g),
+                 compact_src, axis=0).reshape(-1)
+  live_slots = jnp.minimum(count, cap_chunks) * g
+  slot_pos = jnp.arange(reduce_capacity, dtype=jnp.int32)
+  # pad chunks replicate chunk 0 — sentinel their keys so the reduction
+  # never counts them (values are finite, so no NaN risk either way)
+  pid = jnp.where(slot_pos < live_slots, pid, n)
+  vals = jnp.take(rows_arr.reshape(rows_arr.shape[0], n_chunks, g),
+                  compact_src, axis=1).reshape(rows_arr.shape[0], -1)
+  return pid, vals
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _probe_visited_chunks(gaussians2d: jax.Array, mapping: TileMapping,
+                          config: RasterConfig) -> jax.Array:
+  feats = jnp.zeros((gaussians2d.shape[0], 1), gaussians2d.dtype)
+  _, iters, _, _, satiters = _forward_impl(
+      config, False, gaussians2d, feats, mapping)
+  _, _, count = _visited_chunk_select(iters, satiters, mapping,
+                                      config.points_per_chunk)
+  return count
+
+
+def probe_reduce_capacity(gaussians2d: jax.Array, mapping: TileMapping,
+                          config: RasterConfig,
+                          headroom: float = 1.0625) -> int:
+  """Measure a scene's visited-chunk slot count and return a snug static
+  `reduce_capacity` for rasterize_with_tiles (chunk-aligned, clamped to
+  the mapping's K_cap). Saturation depends only on geometry/alpha, so
+  the probe renders a single dummy feature channel. Like
+  probe_emit_tails / the mapper capacity probe: call once per scene
+  scale, then re-jit the frame with the result."""
+  g = config.points_per_chunk
+  k_cap = mapping.overlap_to_point.shape[0]
+  slots = int(_probe_visited_chunks(gaussians2d, mapping, config)) * g
+  cap = round_up(max(int(slots * headroom), g), g)
+  return min(cap, k_cap)
 
 
 def _float0_like(tree):
@@ -107,9 +235,9 @@ def _forward_impl(config, compute_visibility, points, features, mapping):
   return combined, iters, tiled[:, :f + 1, :], vis, satiters
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _raster_core(config: RasterConfig, compute_visibility: bool,
-                 vis_via_sink: bool,
+                 vis_via_sink: bool, reduce_capacity: Optional[int],
                  points, features, heuristic_sink, visibility_sink,
                  mapping: TileMapping):
   _, _, tiled, vis, _ = _forward_impl(
@@ -118,6 +246,7 @@ def _raster_core(config: RasterConfig, compute_visibility: bool,
 
 
 def _raster_core_fwd(config, compute_visibility, vis_via_sink,
+                     reduce_capacity,
                      points, features, heuristic_sink, visibility_sink,
                      mapping):
   # the combined per-slot buffer is saved as a residual (XLA CSEs it with
@@ -131,7 +260,7 @@ def _raster_core_fwd(config, compute_visibility, vis_via_sink,
 
 
 def _raster_core_bwd(config, compute_visibility, vis_via_sink,
-                     residuals, cotangents):
+                     reduce_capacity, residuals, cotangents):
   combined, iters, tiled, satiters, mapping, points = residuals
   g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
 
@@ -162,11 +291,18 @@ def _raster_core_bwd(config, compute_visibility, vis_via_sink,
   # as bf16 pairs in u32 rows, halving the reduction sort's payloads
   live = live_grad_rows(f, compute_heuristic, vis_via_sink,
                         config.antialias)
-  if gout.dtype == jnp.uint32:
-    per_point = reduce_packed_slots_by_point(
-        gout[:(live + 1) // 2], mapping, live)
+  rows = gout[:(live + 1) // 2] if gout.dtype == jnp.uint32 else gout[:live]
+  if reduce_capacity is not None:
+    # saturation-aware compaction: the reduction runs over only the
+    # chunks the backward replayed (per-tile pre-saturation fronts) —
+    # on saturating scenes this is a small fraction of K_cap
+    pid, rows = compact_visited_slots(
+        rows, satiters, iters, mapping, config.points_per_chunk,
+        reduce_capacity)
+    per_point = _reduce_rows(rows, pid, n, live)
   else:
-    per_point = reduce_slots_by_point(gout[:live], mapping)
+    per_point = _reduce_rows(rows, mapping.overlap_to_point, n, live,
+                             offsets=mapping.point_offsets)
 
   if config.antialias:
     # eigen-form transport: rows are already packed-format gradients
@@ -229,6 +365,7 @@ def rasterize_with_tiles(
     visibility_sink: Optional[jax.Array] = None,
     impl: str = "pallas",
     max_points_per_tile: Optional[int] = None,
+    reduce_capacity: Optional[int] = None,
 ) -> RasterOut:
   """Rasterize given precomputed tile mapping (reference
   rasterizer/function.py:96-127).
@@ -251,6 +388,11 @@ def rasterize_with_tiles(
       Only meaningful when the loss is differentiated (fwd+bwd frames).
     impl: "pallas" (custom_vjp kernels) or "xla" (pure-XLA fallback;
       requires max_points_per_tile, no heuristics)
+    reduce_capacity: static slot budget for the saturation-aware
+      backward gradient reduction (compact_visited_slots). Size it
+      with probe_reduce_capacity and re-jit; None = reduce all K_cap
+      slots. Only worthwhile on saturating scenes with
+      config.saturation_early_exit.
 
   Returns RasterOut. `image` and `image_weight` are differentiable wrt
   gaussians2d and features (weight too — an extension over the
@@ -286,7 +428,7 @@ def rasterize_with_tiles(
     visibility_sink = jnp.zeros((n,), gaussians2d.dtype)
 
   tiled, vis_slots = _raster_core(
-      config, compute_visibility, vis_via_sink,
+      config, compute_visibility, vis_via_sink, reduce_capacity,
       gaussians2d, features, heuristic_sink, visibility_sink, mapping)
 
   if not config.use_alpha_blending:

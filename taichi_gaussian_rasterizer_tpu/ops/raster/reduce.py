@@ -138,13 +138,20 @@ def _segment_sum_kernel(r: int, g: int, gi: int, packed: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
-                               offsets: jax.Array, n: int) -> jax.Array:
+                               offsets: jax.Array, n: int,
+                               block_offsets: jax.Array = None) -> jax.Array:
   """Dense per-point sums of point-sorted slot values.
 
   keys: (K,) int32 ascending point ids (sentinel == n sorts last);
   values: (R, K) same order; offsets: (N+1,) positions of each point's
   segment start (mapper point_offsets); n: number of points (static).
   Returns (R, N): column i = sum of values whose key == i.
+
+  The kernel only consumes offsets at 128-point block granularity;
+  callers without a full (N+1,) offsets array (e.g. the compacted
+  saturation-aware reduction, function.py) pass `block_offsets`
+  directly: (ceil(N/128)+1,) positions of keys 0, 128, ..., and the
+  first sentinel — `offsets` is then ignored (pass None).
 
   uint32 values are treated as bf16 pairs (backward.py packing): the
   result is then (2 * R_pad8, N) float32 with the pair's high halves in
@@ -179,7 +186,11 @@ def segment_sums_by_sorted_key(keys: jax.Array, values: jax.Array,
     values = jnp.concatenate(
         [values, jnp.zeros((r_pad - r, k), values.dtype)], axis=0)
 
-  block_off = jnp.concatenate([offsets[:n:g], offsets[n:n + 1]])  # (W+1,)
+  if block_offsets is None:
+    block_offsets = jnp.concatenate(
+        [offsets[:n:g], offsets[n:n + 1]])                        # (W+1,)
+  block_off = block_offsets
+  assert block_off.shape == (w + 1,), (block_off.shape, w)
 
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,

@@ -191,7 +191,7 @@ def test_mapper_emit_tails_crop_flags_overflow():
   points, depth = make_scene(6, 120, image_size)
   # starve every round past the first: only budget-1 candidates emitted
   mapping = map_to_tiles(points, depth, image_size, config,
-                         emit_tails=(120, 0, 0, 0, 0, 0))
+                         emit_tails=(120,) + (0,) * 15)
   assert bool(mapping.overflow)
 
 

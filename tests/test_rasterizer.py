@@ -362,3 +362,49 @@ def test_visibility_sink_matches_forward():
   np.testing.assert_allclose(np.asarray(vis_sink),
                              np.asarray(out_f.visibility),
                              rtol=1e-9, atol=1e-12)
+
+
+def test_compacted_reduction_matches_full():
+  """The saturation-aware gradient-reduction compaction
+  (compact_visited_slots) drops only chunks whose slot gradients are
+  exactly zero (never replayed by the backward); gradients, heuristics,
+  and sink-visibility must match the full-K_cap reduction."""
+  from taichi_gaussian_rasterizer_tpu.ops.raster import (
+      probe_reduce_capacity)
+
+  image_size = (32, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        saturate_threshold=0.999,
+                        compute_point_heuristic=True)
+  n = 64
+  key = jax.random.PRNGKey(21)
+  # opaque gaussians piled on the same spot -> saturates in ~2 chunks
+  points = jnp.concatenate([
+      16.0 + 4.0 * jax.random.normal(key, (n, 2), jnp.float64),
+      jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float64), (n, 1)),
+      jnp.full((n, 2), 20.0, jnp.float64),
+      jnp.full((n, 1), 0.95, jnp.float64),
+  ], axis=1)
+  depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
+  feats = jax.random.uniform(jax.random.PRNGKey(22), (n, 3), jnp.float64)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  cap = probe_reduce_capacity(points, mapping, config)
+  k_cap = mapping.overlap_to_point.shape[0]
+  assert cap < k_cap, (
+      f"compaction must drop chunks on this saturating scene "
+      f"(cap={cap}, k_cap={k_cap})")
+
+  def grads(reduce_capacity):
+    def loss(pts, f, s, vs):
+      out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                                 heuristic_sink=s, visibility_sink=vs,
+                                 reduce_capacity=reduce_capacity)
+      return jnp.sum(out.image ** 2) + jnp.sum(out.image_weight)
+    sink = jnp.zeros((n, 2), jnp.float64)
+    vsink = jnp.zeros((n,), jnp.float64)
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(points, feats, sink, vsink)
+
+  for ga, gb in zip(grads(None), grads(cap)):
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-12, atol=1e-14)

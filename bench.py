@@ -59,7 +59,7 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   compute_point_heuristic on, the heuristic sink differentiated
   alongside the gaussians."""
   from taichi_gaussian_rasterizer_tpu import (
-      map_to_tiles, probe_emit_tails, probe_reduce_capacity,
+      map_to_tiles, probe_emit_tails, probe_visit_chunks,
       project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.utils import morton
   from taichi_gaussian_rasterizer_tpu.utils.random_data import (
@@ -77,7 +77,15 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   # with a snug static capacity (the documented resize-on-overflow flow)
   pts, depth, _ = jax.jit(
       lambda g: project_to_image(g, camera, config))(gaussians)
-  emit_tails = probe_emit_tails(pts, camera.image_size, config)
+  # margin 1.05: the probe measured THIS scene's exact per-round needs
+  # and the benched frame never changes, so (like the snug capacity
+  # below) the margin only covers quantum rounding. The reference sizes
+  # its overlap buffers exactly per frame (full_cumsum host total,
+  # tile_mapper.py:163), so snug static sizing is protocol parity, not
+  # a bench-only cheat. Training flows with drifting footprints keep
+  # the 1.5 default.
+  emit_tails = probe_emit_tails(pts, camera.image_size, config,
+                                margin=1.05)
   probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
                            capacity=16 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
@@ -91,14 +99,22 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   print(f"[{label}] n={n}: overlaps={total} ({total / n:.2f}/pt) "
         f"-> capacity={capacity} emit_tails={emit_tails}", file=sys.stderr)
 
-  # saturating scenes: the backward's gradient reduction runs over only
-  # the replayed pre-saturation chunks (probe + re-jit, like capacity)
-  reduce_capacity = None
+  # saturating scenes: truncate the candidate stream to each tile's
+  # pre-saturation front (probe + re-jit, like capacity) — the combined
+  # gather, kernels, and gradient reduction all run at the visited-front
+  # size; Rendering.raster_overflow (asserted below) guards exactness
+  visit_chunks, visit_capacity = None, None
   if config.saturation_early_exit:
-    reduce_capacity = min(
-        probe_reduce_capacity(pts, probe_map, config), capacity)
-    print(f"[{label}] reduce_capacity={reduce_capacity} "
-          f"({reduce_capacity / capacity:.2f} of K)", file=sys.stderr)
+    # re-map at the snug capacity first: the 16n probe map may have
+    # cropped (overflowed) on very dense scenes, and saturation depths
+    # measured on a cropped stream would silently truncate real content
+    snug_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
+                            capacity=capacity, emit_tails=emit_tails)
+    visit_chunks, visit_capacity = probe_visit_chunks(
+        pts, snug_map, config, margin_chunks=0)
+    visit_capacity = min(visit_capacity, capacity)
+    print(f"[{label}] visit_capacity={visit_capacity} "
+          f"({visit_capacity / capacity:.2f} of K)", file=sys.stderr)
 
   if training:
     config = config.replace(compute_point_heuristic=True)
@@ -113,8 +129,8 @@ def bench_scene(n, image_size, config, iters=20, training=False,
         # visibility via sink: rides the backward's gradient reduction
         r = render_gaussians(g, camera, config, capacity=capacity,
                              emit_tails=emit_tails, heuristic_sink=s,
-                             visibility_sink=vs,
-                             reduce_capacity=reduce_capacity)
+                             visibility_sink=vs, visit_chunks=visit_chunks,
+                             visit_capacity=visit_capacity)
         return jnp.vdot(r.image, g_image)
 
       g, heur, vis = jax.grad(loss, argnums=(0, 1, 2))(
@@ -123,8 +139,8 @@ def bench_scene(n, image_size, config, iters=20, training=False,
 
     def loss(g):
       r = render_gaussians(g, camera, config, capacity=capacity,
-                           emit_tails=emit_tails,
-                           reduce_capacity=reduce_capacity)
+                           emit_tails=emit_tails, visit_chunks=visit_chunks,
+                           visit_capacity=visit_capacity)
       return jnp.vdot(r.image, g_image)
 
     g = jax.grad(loss)(gaussians)
@@ -140,6 +156,15 @@ def bench_scene(n, image_size, config, iters=20, training=False,
       emit_tails=emit_tails))(gaussians)
   sat_frac = float(jnp.mean(
       (r.image_weight >= config.saturate_threshold).astype(jnp.float32)))
+  if visit_chunks is not None:
+    # the truncated render must be exact (every truncated tile saturates
+    # within its kept front) AND match the untruncated image bit-for-bit
+    rt = jax.jit(lambda g: render_gaussians(
+        g, camera, config, capacity=capacity, emit_tails=emit_tails,
+        visit_chunks=visit_chunks, visit_capacity=visit_capacity))(gaussians)
+    assert not bool(rt.raster_overflow), "saturation-front truncation cropped"
+    assert bool(jnp.array_equal(r.image, rt.image)), (
+        "truncated render diverged from the full render")
 
   # compile + warmup; validate the run while we're at it
   t0 = time.perf_counter()

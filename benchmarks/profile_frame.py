@@ -52,7 +52,7 @@ def main():
 
   pts, depth, _ = jax.jit(
       lambda gg: project_to_image(gg, camera, config))(g)
-  emit_tails = probe_emit_tails(pts, image_size, config)
+  emit_tails = probe_emit_tails(pts, image_size, config, margin=1.05)
   probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
                            capacity=16 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)

@@ -44,7 +44,7 @@ def main():
   g = random_3d_gaussians(jax.random.PRNGKey(1), n, camera)
   points, depth, _ = jax.jit(partial(project_to_image, config=config))(
       g, camera)
-  emit_tails = probe_emit_tails(points, image_size, config)
+  emit_tails = probe_emit_tails(points, image_size, config, margin=1.05)
 
   mapper = jax.jit(partial(map_to_tiles, image_size=image_size,
                            config=config, capacity=4 * n,

@@ -85,7 +85,7 @@ def main():
   capacity = args.capacity_factor * n
   if args.snug:
     from taichi_gaussian_rasterizer_tpu import probe_emit_tails
-    emit_tails = probe_emit_tails(pts, image_size, config)
+    emit_tails = probe_emit_tails(pts, image_size, config, margin=1.05)
     probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
                              capacity=capacity, emit_tails=emit_tails)
     total = int(probe_map.total_overlaps)

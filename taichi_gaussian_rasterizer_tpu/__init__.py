@@ -16,7 +16,8 @@ from .ops import (CameraParams, project_to_image, project_points,
                   evaluate_sh_at)
 from .ops.mapper import (TileMapping, map_to_tiles, pad_to_tile,
                          probe_emit_tails)
-from .ops.raster import (RasterOut, probe_reduce_capacity, rasterize,
+from .ops.raster import (RasterOut, probe_reduce_capacity,
+                         probe_visit_chunks, rasterize, truncate_mapping,
                          rasterize_with_tiles)
 from .models import (Rendering, render_gaussians, render_projected,
                      render_with_heuristics, viewspace_gradient)
@@ -39,6 +40,8 @@ __all__ = [
     "runtime",
     "RasterOut",
     "probe_reduce_capacity",
+    "probe_visit_chunks",
+    "truncate_mapping",
     "rasterize",
     "rasterize_with_tiles",
     "Rendering",

@@ -42,6 +42,10 @@ class Rendering:
   depth: Optional[jax.Array] = None              # (H, W)
   depth_var: Optional[jax.Array] = None          # (H, W)
   median_depth: Optional[jax.Array] = None       # (H, W)
+  raster_overflow: Optional[jax.Array] = None    # () bool: saturation-front
+                                                 # truncation cropped a tile
+                                                 # (visit_chunks too small) —
+                                                 # re-probe and re-jit
 
   # -- derived quantities (reference renderer.py:54-116) --
 
@@ -117,7 +121,8 @@ jax.tree_util.register_dataclass(
     Rendering,
     data_fields=["image", "image_weight", "points_in_view", "point_depth",
                  "gaussians2d", "camera", "point_visibility",
-                 "point_heuristic", "depth", "depth_var", "median_depth"],
+                 "point_heuristic", "depth", "depth_var", "median_depth",
+                 "raster_overflow"],
     meta_fields=["config"])
 
 
@@ -139,7 +144,9 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
                      visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None,
-                     reduce_capacity: Optional[int] = None) -> Rendering:
+                     reduce_capacity: Optional[int] = None,
+                     visit_chunks=None,
+                     visit_capacity: Optional[int] = None) -> Rendering:
   """Rasterize already-projected gaussians (reference renderer.py:183-231).
 
   `point_heuristic` in the returned record is always None here: in the
@@ -169,7 +176,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
   raster = rasterize_with_tiles(
       gaussians2d, features, mapping, camera_params.image_size, config,
       heuristic_sink=heuristic_sink, visibility_sink=visibility_sink,
-      reduce_capacity=reduce_capacity)
+      reduce_capacity=reduce_capacity, visit_chunks=visit_chunks,
+      visit_capacity=visit_capacity)
 
   median_depth = None
   if render_median_depth:
@@ -200,7 +208,8 @@ def render_projected(in_view: jax.Array, gaussians2d: jax.Array,
       point_heuristic=None,
       depth=img_depth,
       depth_var=img_depth_var,
-      median_depth=median_depth)
+      median_depth=median_depth,
+      raster_overflow=raster.bin_overflow)
 
 
 def render_gaussians(gaussians: Gaussians3D,
@@ -214,7 +223,9 @@ def render_gaussians(gaussians: Gaussians3D,
                      visibility_sink: Optional[jax.Array] = None,
                      capacity: Optional[int] = None,
                      emit_tails: Optional[Tuple[int, ...]] = None,
-                     reduce_capacity: Optional[int] = None) -> Rendering:
+                     reduce_capacity: Optional[int] = None,
+                     visit_chunks=None,
+                     visit_capacity: Optional[int] = None) -> Rendering:
   """Complete 3D gaussian renderer (reference renderer.py:134-170).
 
   features are degree-inferred SH coefficients when use_sh=True (shaded
@@ -239,7 +250,8 @@ def render_gaussians(gaussians: Gaussians3D,
       render_median_depth=render_median_depth,
       heuristic_sink=heuristic_sink, visibility_sink=visibility_sink,
       capacity=capacity, emit_tails=emit_tails,
-      reduce_capacity=reduce_capacity)
+      reduce_capacity=reduce_capacity, visit_chunks=visit_chunks,
+      visit_capacity=visit_capacity)
 
 
 def render_with_heuristics(loss_fn, gaussians: Gaussians3D,

@@ -59,8 +59,12 @@ TILE_SENTINEL = jnp.iinfo(jnp.int32).max
 # K-proportional candidate sort is the heavy-regime frame's largest op
 # (saturating scenes sit at median span ~12 — the old (1, 2, 4, 16, 64,
 # 256) ladder emitted 24.85M candidates for 12.19M real spans at
-# 1M @2048 heavy; this ladder emits 16.07M, measured in PERF.md r4).
-_BUDGETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+# 1M @2048 heavy; the 16-rung ladder emitted 16.07M; this per-integer
+# ladder up to 16 emits 15.02M at probe margin 1.5 / 13.2M at 1.1 —
+# see PERF.md r4. Ladder fineness is nearly free: the unrolled-column
+# count is sum(widths) = 256 regardless of how the rungs partition it,
+# and each extra rung only re-slices the bucket-sorted tail.
+_BUDGETS = tuple(range(1, 17)) + (20, 24, 28, 32, 48, 64, 96, 128, 192, 256)
 # For large N, later rounds only process a static tail of the
 # footprint-sorted order (gaussians beyond it get cropped + flagged);
 # for small N every round covers everything — the work is negligible.
@@ -68,10 +72,10 @@ _BUDGETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
 # ~1.7 overlaps/point), and a 2-candidate round 0 pushed one guaranteed
 # sentinel per span-1 gaussian through the candidate sort.
 _SMALL_N = 4096
-_TAIL_FRACTIONS = (1.0, 1.0 / 2, 1.0 / 4, 1.0 / 4,
-                   1.0 / 8, 1.0 / 8, 1.0 / 8, 1.0 / 8,
-                   1.0 / 32, 1.0 / 32, 1.0 / 32, 1.0 / 32,
-                   1.0 / 256, 1.0 / 256, 1.0 / 256, 1.0 / 256)
+_TAIL_FRACTIONS = ((1.0, 1.0 / 2, 1.0 / 4, 1.0 / 4)
+                   + (1.0 / 8,) * 12      # rungs 5..16
+                   + (1.0 / 32,) * 6      # rungs 20..64
+                   + (1.0 / 256,) * 4)    # rungs 96..256
 _N_ROUNDS = len(_BUDGETS)
 
 

@@ -1,4 +1,5 @@
-from .function import (RasterOut, probe_reduce_capacity, rasterize,
+from .function import (RasterOut, probe_reduce_capacity,
+                       probe_visit_chunks, rasterize, truncate_mapping,
                        rasterize_with_tiles)
 from .forward import rasterize_tiles_pallas
 from .xla_impl import rasterize_tiles_xla
@@ -7,6 +8,8 @@ from . import blend, tiles
 __all__ = [
     "RasterOut",
     "probe_reduce_capacity",
+    "probe_visit_chunks",
+    "truncate_mapping",
     "rasterize",
     "rasterize_with_tiles",
     "rasterize_tiles_pallas",

@@ -512,7 +512,9 @@ def raster_backward_pallas(combined: jax.Array,       # (R_in, K_cap)
 
   prefetch = (iters.n_iter, packed, starts_ext)
   if not derive_nbwd:
-    prefetch += (satiters,)
+    # satiters is SIGNED (forward.py: -v = exhausted v entries
+    # unsaturated); the replay count is its magnitude
+    prefetch += (jnp.abs(satiters),)
   gout = pl.pallas_call(
       kernel,
       grid_spec=grid_spec,

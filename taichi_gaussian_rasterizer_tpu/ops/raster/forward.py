@@ -147,9 +147,16 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
 
         @pl.when(k_open >= 1)
         def _():
-          # per-tile saturation count for the backward's chunk skipping
+          # per-tile saturation count for the backward's chunk skipping,
+          # SIGNED: +v = saturated at entry v (replay v chunks); -v = the
+          # tile exhausted all v of its entries unsaturated. The sign is
+          # the exactness guard for saturation-front truncation
+          # (function.truncate_mapping) — a weight-sum threshold check
+          # cannot reproduce this vote (the kernel votes on the f32
+          # transmittance PRODUCT, which drifts ulps from the weight sum)
           if early_exit:
-            sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
+            sat_ref[t_prev] = jnp.where(sat_val == SAT_NONE,
+                                        -(c_local + 1), sat_val)
           img_flush(t_prev, 1 - islot_new).start()
 
         @pl.when(k_open >= 2)
@@ -253,7 +260,8 @@ def _forward_kernel(config: RasterConfig, feature_size: int,
     @pl.when(k_open >= 1)
     def _():
       if early_exit:
-        sat_ref[t_prev] = jnp.minimum(sat_val, c_local + 1)
+        sat_ref[t_prev] = jnp.where(sat_val == SAT_NONE,
+                                    -(c_local + 1), sat_val)
       else:
         sat_ref[0] = 0   # dummy (1,) output: satiters derived downstream
       last = rem(k_open - 1, 2)
@@ -291,8 +299,11 @@ def rasterize_tiles_flat(combined: jax.Array, iters: IterationList,
 
   Returns (tiled image (T, F_pad, P) with the blend weight in row F and
   empty tiles zeroed, visibility-per-slot (1, K_cap) or None, satiters
-  (T,) int32 per-tile chunk-iteration counts for the backward's
-  saturation skipping).
+  (T,) int32 SIGNED per-tile chunk-iteration counts for the backward's
+  saturation skipping: +v = saturated at entry v, -v = exhausted all v
+  entries unsaturated; |satiters| is the replay count either way.
+  Entries for tiles with empty bins are uninitialized SMEM — mask
+  before reading).
   """
   dtype = combined.dtype
   ts = config.tile_size

@@ -133,7 +133,8 @@ def _visited_chunk_select(iters, satiters: jax.Array, mapping: TileMapping,
   # align_down(starts[tile], g) (flat.pack_iters invariant)
   aligned = (jnp.take(starts, tc) // g) * g
   c_local = (off - aligned) // g
-  visited = real & (c_local < jnp.take(satiters, tc))
+  # satiters is SIGNED (forward.py); replay count is its magnitude
+  visited = real & (c_local < jnp.take(jnp.abs(satiters), tc))
   is_first = jnp.concatenate(
       [jnp.ones((1,), bool), (off[1:] != off[:-1]) | ~real[1:]])
   rid = jnp.cumsum(is_first.astype(jnp.int32)) - 1           # run ids
@@ -216,6 +217,147 @@ def probe_reduce_capacity(gaussians2d: jax.Array, mapping: TileMapping,
   return min(cap, k_cap)
 
 
+def _tile_cover_chunks(mapping: TileMapping, g: int) -> jax.Array:
+  """Per-tile chunk coverage of the abutting bins: the number of
+  iteration-list entries each non-empty tile owns (a-entries plus its
+  boundary duplicate) — the unit satiters counts in."""
+  starts = mapping.tile_ranges[:, 0]
+  ends = mapping.tile_ranges[:, 1]
+  return jnp.where(ends > starts, cdiv(ends, g) - starts // g, 0)
+
+
+def probe_visit_chunks(gaussians2d: jax.Array, mapping: TileMapping,
+                       config: RasterConfig, margin_chunks: int = 1
+                       ) -> Tuple[jax.Array, int]:
+  """Measure per-tile saturation depths for truncate_mapping.
+
+  Returns (visit_chunks (n_tiles,) int32 device array, visit_capacity
+  static int). On saturating scenes (real opaque 3DGS checkpoints) most
+  of the candidate stream sits BEHIND some tile's saturation point: the
+  kernels never read it (the saturation early-exit), yet the combined
+  gather — the heavy-regime frame's largest op, 58.4 ms of 237 at 11.8M
+  slots (PERF.md r4) — materializes every slot. Probing the saturation
+  depths once and truncating the mapping (truncate_mapping) sizes the
+  whole raster stage by the visited front instead of K_cap.
+
+  Like probe_emit_tails / the capacity probe: call once per scene, re-jit
+  with the result. `margin_chunks` extra chunks per tile absorb drift
+  between the probed and rendered frame (0 is exact for a static scene);
+  a tile whose saturation point drifts past its kept front raises the
+  RasterOut.bin_overflow flag — re-probe and re-jit, the documented
+  resize-on-overflow flow.
+  """
+  assert config.saturation_early_exit and config.use_alpha_blending, (
+      "probe_visit_chunks requires saturation_early_exit and alpha "
+      "blending: truncation is exact only where the saturation skip is")
+  # NOTE: probe on the SAME candidate stream the frame will render
+  # (same capacity / emit_tails / use_depth16): saturation depths
+  # measured on a differently-cropped stream silently truncate real
+  # content. A mapping whose overflow flag is set is fine as long as the
+  # render uses the identical mapping parameters (the crop is then part
+  # of both streams); probing on a SMALLER-capacity map than the render
+  # is the dangerous case.
+  g = config.points_per_chunk
+  feats = jnp.zeros((gaussians2d.shape[0], 1), gaussians2d.dtype)
+  _, _, _, _, satiters = _forward_impl(config, False, gaussians2d, feats,
+                                       mapping)
+  cover = np.asarray(_tile_cover_chunks(mapping, g))
+  # satiters is SIGNED; |v| chunks were replayed either way (tiles with
+  # empty bins carry uninitialized SMEM — the cover clip masks them)
+  sat = np.abs(np.asarray(satiters, np.int64))
+  visit = np.clip(np.minimum(cover, sat + margin_chunks), 0, cover)
+  visit_capacity = round_up(max(int(visit.sum()), 1) * g, g)
+  return jnp.asarray(visit, jnp.int32), int(visit_capacity)
+
+
+def truncate_mapping(mapping: TileMapping, visit_chunks: jax.Array,
+                     visit_capacity: int, g: int
+                     ) -> Tuple[TileMapping, jax.Array]:
+  """Rebuild the candidate stream keeping only each tile's first
+  `visit_chunks[t]` slot chunks (its pre-saturation front).
+
+  The truncated stream is a normal abutting-bins TileMapping whose bins
+  are EXCLUSIVE per-tile chunk runs: tile t's run is its kept chunks
+  copied verbatim (one cheap chunk-granular gather), with lanes outside
+  its own [start, truncated_end) range sentineled. Chunk-aligned run
+  starts mean build_iteration_list emits no boundary duplicates and the
+  kernels' lane masks pass everything — sentinel slots are exact no-ops
+  by the alpha-floor padding row (flat.build_combined), and a slot that
+  was shared between two tiles' boundary chunks appears live in exactly
+  one run, so the point-keyed gradient reduction stays exact.
+
+  point_offsets is None in the result (the mapper's per-point counts are
+  stale after truncation); the gradient reduction recovers its block
+  offsets from the sorted keys (_sort_and_segment), so reduce_capacity
+  compaction is unnecessary — the stream is already compact.
+
+  Returns (truncated mapping, truncated (n_tiles,) bool marking tiles
+  that lost chunks — rasterize_with_tiles checks those saturated within
+  their kept run and flags bin_overflow otherwise — and drift_overflow
+  () bool: the kept chunks exceeded visit_capacity, so runs were
+  clamped/cropped beyond the per-tile saturation fronts). The result's
+  own overflow flag is mapping.overflow | drift_overflow (the standard
+  "valid but incomplete" contract); rasterize_with_tiles' bin_overflow
+  deliberately excludes the PRE-EXISTING mapping.overflow so a scene
+  whose footprints were already cropped (a condition the caller can
+  read off the input mapping) does not mask truncation validity.
+  """
+  starts = mapping.tile_ranges[:, 0]
+  ends = mapping.tile_ranges[:, 1]
+  n_tiles = starts.shape[0]
+  n = mapping.point_sentinel
+  k_cap = mapping.overlap_to_point.shape[0]
+  n_chunks = k_cap // g
+  assert visit_capacity % g == 0 and visit_capacity > 0
+  cap_chunks = visit_capacity // g
+
+  cover = _tile_cover_chunks(mapping, g)
+  keep_raw = jnp.clip(jnp.minimum(cover, visit_chunks), 0, cover)
+  total_keep = jnp.sum(keep_raw)
+  # clamp runs into the static capacity (drift overflow -> flag + crop);
+  # the clamped runs still abut: run_start[t] + keep[t] == run_start[t+1]
+  run_start = jnp.minimum(jnp.cumsum(keep_raw) - keep_raw, cap_chunks)
+  keep = jnp.minimum(keep_raw, cap_chunks - run_start)
+  drift_overflow = total_keep > cap_chunks
+
+  # owner[c] = tile whose run covers dst chunk c (runs abut -> cummax)
+  tid = jnp.arange(n_tiles, dtype=jnp.int32)
+  owner0 = jnp.zeros((cap_chunks,), jnp.int32).at[
+      jnp.where(keep > 0, run_start, cap_chunks)].max(tid, mode="drop")
+  owner = jax.lax.cummax(owner0)
+  dstc = jnp.arange(cap_chunks, dtype=jnp.int32)
+  j = dstc - jnp.take(run_start, owner)
+  valid = (dstc < jnp.minimum(total_keep, cap_chunks)) \
+      & (j < jnp.take(keep, owner))
+  src_chunk = jnp.where(valid, jnp.take(starts // g, owner) + j, 0)
+
+  o2p_c = jnp.take(mapping.overlap_to_point.reshape(n_chunks, g),
+                   src_chunk, axis=0)                     # (cap_chunks, g)
+  lane = jnp.arange(g, dtype=jnp.int32)
+  slot = src_chunk[:, None] * g + lane[None, :]           # src slot ids
+  lo = jnp.take(starts, owner)
+  hi = jnp.minimum(jnp.take(ends, owner),
+                   (jnp.take(starts // g, owner) + jnp.take(keep, owner))
+                   * g)
+  live = valid[:, None] & (slot >= lo[:, None]) & (slot < hi[:, None])
+  o2p = jnp.where(live, o2p_c, n).reshape(-1)
+  tile = jnp.where(live, jnp.broadcast_to(owner[:, None], live.shape),
+                   n_tiles).reshape(-1)
+
+  new = TileMapping(
+      overlap_to_point=o2p.astype(jnp.int32),
+      overlap_to_tile=tile.astype(jnp.int32),
+      tile_ranges=jnp.stack(
+          [run_start * g, (run_start + keep) * g], axis=1).astype(jnp.int32),
+      tile_shape=mapping.tile_shape,
+      total_overlaps=(jnp.minimum(total_keep, cap_chunks) * g).astype(
+          jnp.int32),
+      overflow=mapping.overflow | drift_overflow,
+      point_sentinel=n,
+      point_offsets=None)
+  return new, keep < cover, drift_overflow
+
+
 def _float0_like(tree):
   return jax.tree.map(
       lambda x: np.zeros(x.shape, jax.dtypes.float0)
@@ -240,9 +382,9 @@ def _raster_core(config: RasterConfig, compute_visibility: bool,
                  vis_via_sink: bool, reduce_capacity: Optional[int],
                  points, features, heuristic_sink, visibility_sink,
                  mapping: TileMapping):
-  _, _, tiled, vis, _ = _forward_impl(
+  _, _, tiled, vis, satiters = _forward_impl(
       config, compute_visibility, points, features, mapping)
-  return tiled, vis
+  return tiled, vis, satiters
 
 
 def _raster_core_fwd(config, compute_visibility, vis_via_sink,
@@ -256,13 +398,15 @@ def _raster_core_fwd(config, compute_visibility, vis_via_sink,
   # `points` rides along for the per-point conic -> packed chain rule.
   combined, iters, tiled, vis, satiters = _forward_impl(
       config, compute_visibility, points, features, mapping)
-  return (tiled, vis), (combined, iters, tiled, satiters, mapping, points)
+  return ((tiled, vis, satiters),
+          (combined, iters, tiled, satiters, mapping, points))
 
 
 def _raster_core_bwd(config, compute_visibility, vis_via_sink,
                      reduce_capacity, residuals, cotangents):
   combined, iters, tiled, satiters, mapping, points = residuals
-  g_tiled, _g_vis = cotangents   # visibility output is non-differentiable
+  # visibility and satiters outputs are non-differentiable
+  g_tiled, _g_vis, _g_sat = cotangents
 
   n = mapping.point_sentinel
   f = tiled.shape[1] - 1
@@ -366,6 +510,8 @@ def rasterize_with_tiles(
     impl: str = "pallas",
     max_points_per_tile: Optional[int] = None,
     reduce_capacity: Optional[int] = None,
+    visit_chunks: Optional[jax.Array] = None,
+    visit_capacity: Optional[int] = None,
 ) -> RasterOut:
   """Rasterize given precomputed tile mapping (reference
   rasterizer/function.py:96-127).
@@ -392,7 +538,14 @@ def rasterize_with_tiles(
       backward gradient reduction (compact_visited_slots). Size it
       with probe_reduce_capacity and re-jit; None = reduce all K_cap
       slots. Only worthwhile on saturating scenes with
-      config.saturation_early_exit.
+      config.saturation_early_exit, and superseded by visit_chunks
+      (which compacts the whole raster stage, not just the reduction).
+    visit_chunks / visit_capacity: per-tile saturation-front truncation
+      (probe_visit_chunks + truncate_mapping). The combined gather, both
+      kernels' iteration lists, and the gradient reduction all run at
+      the visited-front size instead of K_cap. Exact while every
+      truncated tile still saturates within its kept front; otherwise
+      RasterOut.bin_overflow is set (re-probe and re-jit).
 
   Returns RasterOut. `image` and `image_weight` are differentiable wrt
   gaussians2d and features (weight too — an extension over the
@@ -403,6 +556,25 @@ def rasterize_with_tiles(
   compute_visibility = ((config.compute_visibility
                          or config.compute_point_heuristic)
                         and not vis_via_sink)
+
+  truncated = None
+  if visit_chunks is not None:
+    if visit_capacity is None:
+      raise ValueError("visit_chunks needs a static visit_capacity "
+                       "(from probe_visit_chunks)")
+    if impl != "pallas":
+      raise ValueError("visit_chunks truncation requires impl='pallas'")
+    if not (config.saturation_early_exit and config.use_alpha_blending):
+      raise ValueError(
+          "visit_chunks truncation is exact only where the saturation "
+          "early-exit is: requires saturation_early_exit and alpha "
+          "blending")
+    if reduce_capacity is not None:
+      raise ValueError(
+          "reduce_capacity is redundant with visit_chunks: the truncated "
+          "stream is already compact — pass one or the other")
+    mapping, truncated, drift_overflow = truncate_mapping(
+        mapping, visit_chunks, visit_capacity, config.points_per_chunk)
 
   if impl == "xla":
     from .xla_impl import rasterize_tiles_xla
@@ -427,7 +599,7 @@ def rasterize_with_tiles(
   if visibility_sink is None:
     visibility_sink = jnp.zeros((n,), gaussians2d.dtype)
 
-  tiled, vis_slots = _raster_core(
+  tiled, vis_slots, satiters = _raster_core(
       config, compute_visibility, vis_via_sink, reduce_capacity,
       gaussians2d, features, heuristic_sink, visibility_sink, mapping)
 
@@ -446,7 +618,23 @@ def rasterize_with_tiles(
     visibility = reduce_slots_by_point(
         jax.lax.stop_gradient(vis_slots), mapping)[:, 0]
 
-  return RasterOut(image, weight, None, visibility)
+  bin_overflow = None
+  if truncated is not None:
+    # a truncated tile is exact iff it saturated within its kept front
+    # (the truncation then removed only chunks the early-exit would have
+    # skipped, which contribute exactly zero by the blend gates). The
+    # forward's SIGNED satiters carries its own saturation vote (< 0 =
+    # exhausted unsaturated) — a weight-sum threshold check would drift
+    # ulps from the kernel's transmittance-product vote and false-flag.
+    # drift_overflow covers capacity drift (total kept chunks >
+    # visit_capacity, where fully-dropped tiles never open and leave
+    # uninitialized satiters). `truncated` masks empty tiles. The
+    # PRE-EXISTING mapping.overflow (capacity/footprint crop of the
+    # input stream) is deliberately NOT folded in: it is readable off
+    # the input mapping and identical with or without truncation.
+    bin_overflow = drift_overflow | jnp.any(truncated & (satiters < 0))
+
+  return RasterOut(image, weight, None, visibility, bin_overflow)
 
 
 def rasterize(gaussians2d: jax.Array, depth: jax.Array,

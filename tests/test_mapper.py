@@ -13,6 +13,7 @@ import pytest
 
 from taichi_gaussian_rasterizer_tpu import RasterConfig
 from taichi_gaussian_rasterizer_tpu.ops import lib
+from taichi_gaussian_rasterizer_tpu.ops import mapper
 from taichi_gaussian_rasterizer_tpu.ops.mapper import (
     map_to_tiles, num_tiles, pad_to_tile)
 from taichi_gaussian_rasterizer_tpu.models.renderer2d import project_gaussians2d
@@ -191,7 +192,7 @@ def test_mapper_emit_tails_crop_flags_overflow():
   points, depth = make_scene(6, 120, image_size)
   # starve every round past the first: only budget-1 candidates emitted
   mapping = map_to_tiles(points, depth, image_size, config,
-                         emit_tails=(120,) + (0,) * 15)
+                         emit_tails=(120,) + (0,) * (mapper._N_ROUNDS - 1))
   assert bool(mapping.overflow)
 
 

@@ -228,7 +228,9 @@ def test_backward_saturation_skip_exact():
   _, _, satchunks = rasterize_tiles_pallas(points, feats, mapping, config)
   nchunks = cdiv_i32(mapping.tile_ranges[:, 1] - mapping.tile_ranges[:, 0],
                      config.points_per_chunk)
-  assert int(jnp.sum(satchunks < nchunks)) > 0, (
+  # satiters is SIGNED: +v = saturated at entry v (the skip engages when
+  # that is before the bin's end), -v = exhausted unsaturated
+  assert int(jnp.sum((satchunks > 0) & (satchunks < nchunks))) > 0, (
       "saturation skip never engaged; the scene must overdraw harder")
 
   def loss(pts, f, impl):
@@ -408,3 +410,83 @@ def test_compacted_reduction_matches_full():
   for ga, gb in zip(grads(None), grads(cap)):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_truncated_mapping_matches_full():
+  """Saturation-front truncation (probe_visit_chunks + truncate_mapping)
+  keeps only chunks ahead of each tile's saturation point; the image,
+  weight, gradients, heuristics, and sink-visibility must match the
+  untruncated render exactly (the removed chunks are the ones the
+  early-exit skips, which contribute exactly zero by the blend gates)."""
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      probe_visit_chunks)
+
+  image_size = (64, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        saturate_threshold=0.999,
+                        compute_point_heuristic=True)
+  n = 128
+  key = jax.random.PRNGKey(31)
+  # opaque gaussians piled up -> front tiles saturate early; x spread
+  # across several tiles so some tiles stay light (untruncated)
+  points = jnp.concatenate([
+      jnp.stack([8.0 + 48.0 * jax.random.uniform(key, (n,), jnp.float64),
+                 16.0 + 3.0 * jax.random.normal(
+                     jax.random.PRNGKey(32), (n,), jnp.float64)], axis=1),
+      jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float64), (n, 1)),
+      jnp.full((n, 2), 10.0, jnp.float64),
+      jnp.full((n, 1), 0.9, jnp.float64),
+  ], axis=1)
+  depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
+  feats = jax.random.uniform(jax.random.PRNGKey(33), (n, 3), jnp.float64)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  visit, cap = probe_visit_chunks(points, mapping, config, margin_chunks=0)
+  k_cap = mapping.overlap_to_point.shape[0]
+  assert cap < k_cap, (
+      f"truncation must drop chunks on this saturating scene "
+      f"(cap={cap}, k_cap={k_cap})")
+
+  def run(visit_args):
+    def loss(pts, f, s, vs):
+      out = rasterize_with_tiles(pts, f, mapping, image_size, config,
+                                 heuristic_sink=s, visibility_sink=vs,
+                                 **visit_args)
+      return jnp.sum(out.image ** 2) + jnp.sum(out.image_weight)
+    sink = jnp.zeros((n, 2), jnp.float64)
+    vsink = jnp.zeros((n,), jnp.float64)
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(points, feats, sink, vsink)
+    out = rasterize_with_tiles(points, feats, mapping, image_size, config,
+                               **visit_args)
+    return out, g
+
+  out_full, g_full = run({})
+  out_tr, g_tr = run(dict(visit_chunks=visit, visit_capacity=cap))
+
+  assert out_tr.bin_overflow is not None and not bool(out_tr.bin_overflow), (
+      "snug truncation of the probed frame must not flag")
+  np.testing.assert_array_equal(np.asarray(out_full.image),
+                                np.asarray(out_tr.image))
+  np.testing.assert_array_equal(np.asarray(out_full.image_weight),
+                                np.asarray(out_tr.image_weight))
+  for ga, gb in zip(g_full, g_tr):
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_truncated_mapping_flags_undersized_visits():
+  """Cutting a tile's kept front BELOW its saturation point must set
+  RasterOut.bin_overflow (the render is then cropped, never silent)."""
+  image_size = (32, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  points, depth, feats = scene(41, 120, image_size)
+
+  mapping = map_to_tiles(points, depth, image_size, config)
+  n_tiles = mapping.tile_ranges.shape[0]
+  # random_2d_gaussians scenes never saturate: ANY truncation must flag
+  visit = jnp.ones((n_tiles,), jnp.int32)
+  g = config.points_per_chunk
+  cap = int(n_tiles) * g
+  out = rasterize_with_tiles(points, feats, mapping, image_size, config,
+                             visit_chunks=visit, visit_capacity=cap)
+  assert bool(out.bin_overflow)

@@ -490,3 +490,35 @@ def test_truncated_mapping_flags_undersized_visits():
   out = rasterize_with_tiles(points, feats, mapping, image_size, config,
                              visit_chunks=visit, visit_capacity=cap)
   assert bool(out.bin_overflow)
+
+
+def test_truncated_mapping_flags_capacity_drift():
+  """If the kept fronts outgrow the static visit_capacity (footprint
+  drift between probe and render), runs are cropped and the flag must
+  fire even when every surviving tile saturates."""
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      probe_visit_chunks)
+
+  image_size = (64, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        saturate_threshold=0.999)
+  n = 128
+  key = jax.random.PRNGKey(51)
+  points = jnp.concatenate([
+      jnp.stack([8.0 + 48.0 * jax.random.uniform(key, (n,), jnp.float64),
+                 16.0 + 3.0 * jax.random.normal(
+                     jax.random.PRNGKey(52), (n,), jnp.float64)], axis=1),
+      jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float64), (n, 1)),
+      jnp.full((n, 2), 10.0, jnp.float64),
+      jnp.full((n, 1), 0.9, jnp.float64),
+  ], axis=1)
+  depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
+  feats = jax.random.uniform(jax.random.PRNGKey(53), (n, 3), jnp.float64)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  visit, cap = probe_visit_chunks(points, mapping, config, margin_chunks=0)
+  g = config.points_per_chunk
+  assert cap > g, "scene too small to undersize"
+  out = rasterize_with_tiles(points, feats, mapping, image_size, config,
+                             visit_chunks=visit, visit_capacity=cap - g)
+  assert bool(out.bin_overflow), "capacity drift crop must flag"

@@ -522,3 +522,47 @@ def test_truncated_mapping_flags_capacity_drift():
   out = rasterize_with_tiles(points, feats, mapping, image_size, config,
                              visit_chunks=visit, visit_capacity=cap - g)
   assert bool(out.bin_overflow), "capacity drift crop must flag"
+
+
+def test_truncated_mapping_forward_visibility():
+  """The forward-computed visibility (config.compute_visibility, no
+  sink) must survive truncation exactly: the per-slot visibility buffer
+  shrinks to the kept runs and its reduction runs without the mapper's
+  point_offsets (stale after truncation)."""
+  from taichi_gaussian_rasterizer_tpu.ops.raster.function import (
+      probe_visit_chunks)
+
+  image_size = (64, 32)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        saturate_threshold=0.999,
+                        compute_visibility=True)
+  n = 128
+  key = jax.random.PRNGKey(61)
+  points = jnp.concatenate([
+      jnp.stack([8.0 + 48.0 * jax.random.uniform(key, (n,), jnp.float64),
+                 16.0 + 3.0 * jax.random.normal(
+                     jax.random.PRNGKey(62), (n,), jnp.float64)], axis=1),
+      jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float64), (n, 1)),
+      jnp.full((n, 2), 10.0, jnp.float64),
+      jnp.full((n, 1), 0.9, jnp.float64),
+  ], axis=1)
+  depth = jnp.linspace(0.1, 0.9, n, dtype=jnp.float64)
+  feats = jax.random.uniform(jax.random.PRNGKey(63), (n, 3), jnp.float64)
+  mapping = map_to_tiles(points, depth, image_size, config)
+
+  visit, cap = probe_visit_chunks(
+      points, mapping, config.replace(compute_visibility=False),
+      margin_chunks=0)
+  assert cap < mapping.overlap_to_point.shape[0]
+
+  full = rasterize_with_tiles(points, feats, mapping, image_size, config)
+  tr = rasterize_with_tiles(points, feats, mapping, image_size, config,
+                            visit_chunks=visit, visit_capacity=cap)
+  assert not bool(tr.bin_overflow)
+  # allclose, not equal: the truncated stream orders slots differently
+  # through the point reduction's sort (boundary-chunk copies split
+  # across runs), so per-point sums differ by summation order (ulps).
+  # The IMAGE stays bit-exact (per-pixel blend order is unchanged).
+  np.testing.assert_allclose(np.asarray(full.visibility),
+                             np.asarray(tr.visibility),
+                             rtol=1e-12, atol=1e-13)

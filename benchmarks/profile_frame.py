@@ -29,7 +29,7 @@ def main():
   args = ap.parse_args()
 
   from taichi_gaussian_rasterizer_tpu import (
-      RasterConfig, map_to_tiles, probe_emit_tails, probe_reduce_capacity,
+      RasterConfig, map_to_tiles, probe_emit_tails, probe_visit_chunks,
       project_to_image, render_gaussians)
   from taichi_gaussian_rasterizer_tpu.models.renderer import (
       render_with_heuristics)
@@ -56,13 +56,17 @@ def main():
   probe_map = map_to_tiles(pts, depth[:, 0], image_size, config,
                            capacity=16 * n, emit_tails=emit_tails)
   total = int(probe_map.total_overlaps)
-  capacity = int((int(total * 1.0625) + 1023) // 1024 * 1024)
-  reduce_capacity = None
+  capacity = int((int(total * 1.002) + 1023) // 1024 * 1024)
+  visit_chunks, visit_capacity = None, None
   if config.saturation_early_exit:
-    reduce_capacity = min(
-        probe_reduce_capacity(pts, probe_map, config), capacity)
+    # the saturation-front truncation flow, exactly as bench.py runs it
+    snug_map = map_to_tiles(pts, depth[:, 0], image_size, config,
+                            capacity=capacity, emit_tails=emit_tails)
+    visit_chunks, visit_capacity = probe_visit_chunks(
+        pts, snug_map, config, margin_chunks=0)
+    visit_capacity = min(visit_capacity, capacity)
   print(f"overlaps={total} capacity={capacity} "
-        f"reduce_capacity={reduce_capacity}")
+        f"visit_capacity={visit_capacity}")
 
   @jax.jit
   def train_frame(gaussians, g_image):
@@ -70,7 +74,8 @@ def main():
       r = render_gaussians(gg, camera, config, capacity=capacity,
                            emit_tails=emit_tails,
                            use_depth16=args.depth16,
-                           reduce_capacity=reduce_capacity)
+                           visit_chunks=visit_chunks,
+                           visit_capacity=visit_capacity)
       return jnp.vdot(r.image, g_image)
 
     grads = jax.grad(loss)(gaussians)

@@ -26,9 +26,13 @@ Two occupancy regimes, reported separately:
 Scenes are Morton-ordered before rendering, as real 3DGS checkpoints
 are after io.load_gaussians_ply (morton_order=True).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-headline row plus named fields for every other row; per-row baselines
-are the matching taichi-splatting RTX-4090 numbers.
+Output protocol (driver-robust): the HEADLINE row runs FIRST, and the
+full cumulative JSON result line is re-printed (flushed) to stdout
+after EVERY completed row — so a driver timeout mid-sweep still
+captures the headline plus every row that finished. Rows are ordered
+by importance and each is skipped when the elapsed wall-clock exceeds
+its start deadline (cold-cache compiles are 1-2 min/row; the
+persistent cache makes warm runs compile in seconds).
 """
 
 import json
@@ -50,6 +54,12 @@ BASELINE_MS = {
     "1M_4096": 1000.0 / 47.34,    # 21.12
     "1M_2048_t32": 1000.0 / 79.69,  # 12.55 (taichi-splatting(32) row)
 }
+
+T_START = time.perf_counter()
+
+
+def elapsed():
+  return time.perf_counter() - T_START
 
 
 def bench_scene(n, image_size, config, iters=20, training=False,
@@ -198,50 +208,69 @@ def main():
   heavy = RasterConfig(tile_size=16, points_per_chunk=128)
   heavy_scene = dict(scale_factor=4.0, alpha_range=(0.75, 0.99))
 
-  results = {}
-
-  def row(key, *args, **kwargs):
-    try:
-      ms, compile_s = bench_scene(*args, label=key, **kwargs)
-      print(f"[{key}] {ms:.2f} ms/frame", file=sys.stderr)
-      results[key] = round(ms, 3)
-      return ms, compile_s
-    except Exception as e:  # report partial results rather than dying
-      print(f"[{key}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-      results[key] = None
-      return None, None
-
-  row("ms_6m", 6_000_000, image_size, light, iters=5)
-  row("ms_3m", 3_000_000, image_size, light, iters=10)
-  row("training_mode_ms", 1_000_000, image_size, light, iters=10,
-      training=True)
-  row("ms_heavy", 1_000_000, image_size, heavy, iters=10, **heavy_scene)
-  row("ms_heavy_training", 1_000_000, image_size, heavy, iters=10,
-      training=True, **heavy_scene)
-  row("ms_1024", 1_000_000, (1024, 768), light, iters=20)
-  row("ms_4096", 1_000_000, (4096, 3072), light, iters=5)
-  row("ms_2048_t32",
-      1_000_000, image_size,
-      light.replace(tile_size=32), iters=10)
-  row("ms_antialias", 1_000_000, image_size,
-      light.replace(antialias=True), iters=10)
-
-  ms, compile_s = bench_scene(1_000_000, image_size, light, iters=20,
-                              label="headline")
   out = {
       "metric": "fwd_bwd_ms_per_frame_2048px_1M_gaussians",
-      "value": round(ms, 3),
+      "value": None,
       "unit": "ms/frame",
-      "vs_baseline": round(BASELINE_MS["1M_2048"] / ms, 4),
-      "compile_s": round(compile_s, 1),
+      "vs_baseline": None,
   }
-  out.update(results)
-  for key, base in (("ms_1024", "1M_1024"), ("ms_4096", "1M_4096"),
-                    ("ms_2048_t32", "1M_2048_t32")):
-    if results.get(key):
-      out[f"vs_baseline_{key[3:]}"] = round(
-          BASELINE_MS[base] / results[key], 4)
-  print(json.dumps(out))
+
+  def emit():
+    # cumulative result line after every row: a driver timeout later in
+    # the sweep still captures everything finished so far (the driver
+    # parses the LAST valid JSON line on stdout)
+    print(json.dumps(out), flush=True)
+
+  # ---- headline row FIRST (the number the round is judged on) ----
+  try:
+    ms, compile_s = bench_scene(1_000_000, image_size, light, iters=20,
+                                label="headline")
+    out["value"] = round(ms, 3)
+    out["vs_baseline"] = round(BASELINE_MS["1M_2048"] / ms, 4)
+    out["compile_s"] = round(compile_s, 1)
+    print(f"[headline] {ms:.2f} ms/frame", file=sys.stderr)
+  except Exception as e:
+    print(f"[headline] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+  emit()
+
+  def row(key, deadline_s, *args, **kwargs):
+    # deadline: don't START a row once the sweep has been running this
+    # long — a cold-cache compile is 1-2 min/row and the driver's total
+    # budget is finite; rows are ordered so the cheap, baseline-matched
+    # ones come first.
+    if elapsed() > deadline_s:
+      print(f"[{key}] SKIPPED (elapsed {elapsed():.0f}s > {deadline_s}s "
+            "deadline)", file=sys.stderr)
+      return
+    try:
+      ms, _ = bench_scene(*args, label=key, **kwargs)
+      print(f"[{key}] {ms:.2f} ms/frame", file=sys.stderr)
+      out[key] = round(ms, 3)
+      base = {"ms_1024": "1M_1024", "ms_4096": "1M_4096",
+              "ms_2048_t32": "1M_2048_t32"}.get(key)
+      if base:
+        out[f"vs_baseline_{key[3:]}"] = round(BASELINE_MS[base] / ms, 4)
+    except Exception as e:  # report partial results rather than dying
+      print(f"[{key}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+      out[key] = None
+    emit()
+
+  # importance order; deadlines assume worst-case ~2 min cold compile
+  # per row and a ~20 min driver budget
+  row("training_mode_ms", 240, 1_000_000, image_size, light, iters=10,
+      training=True)
+  row("ms_heavy", 360, 1_000_000, image_size, heavy, iters=10,
+      **heavy_scene)
+  row("ms_1024", 480, 1_000_000, (1024, 768), light, iters=20)
+  row("ms_4096", 570, 1_000_000, (4096, 3072), light, iters=5)
+  row("ms_2048_t32", 690, 1_000_000, image_size,
+      light.replace(tile_size=32), iters=10)
+  row("ms_3m", 780, 3_000_000, image_size, light, iters=10)
+  row("ms_heavy_training", 870, 1_000_000, image_size, heavy, iters=10,
+      training=True, **heavy_scene)
+  row("ms_antialias", 960, 1_000_000, image_size,
+      light.replace(antialias=True), iters=10)
+  row("ms_6m", 1020, 6_000_000, image_size, light, iters=5)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,22 @@ class RasterConfig:
   # diagnosing convergence issues (f64 paths are always exact).
   exact_slot_gradients: bool = False
 
+  # Deterministic blend-tie ordering in the tile mapper's candidate
+  # sort. The default sorts with is_stable=False (measured ~25% faster,
+  # PERF.md round-3b): candidates with identical (tile, depth) keys
+  # blend in arbitrary, compile-dependent order. The reference's CUB
+  # radix sort IS stable (cuda_lib/radix_sort_pairs.cu via
+  # tile_mapper.py:154), so ties blend in generation order there. Exact
+  # key ties are measure-zero for f32 depths but COMMON under depth16
+  # quantization. With deterministic=True the mapper sorts stably, and
+  # the depth16 key additionally carries the full f32 depth as a
+  # secondary sort key — so renders are bitwise reproducible and (up to
+  # exactly-equal f32 depths) independent of the input point order.
+  # Gradient reductions stay input-order-dependent in their f32
+  # summation order either way. Costs one extra sort payload column in
+  # depth16 mode plus the stable-sort premium (measure per scene).
+  deterministic: bool = False
+
   # In f32 with 3-4 feature channels the per-slot gather table packs
   # feature pairs as bf16 halves of one f32 row, landing the gather on
   # the measured 8-row sweet spot (6.1 vs 7.6 ns/idx — PERF.md). Costs

@@ -408,8 +408,15 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
       accept = (jv < budget) & _sat_accept(lo_x, lo_y, ib, tile_size)
       pv = jnp.where(accept, orig, n)
       if use_depth16:
-        key = ((jnp.where(accept, tile_id.astype(jnp.uint32),
-                          jnp.uint32(0xFFFF)) << 16) | d16c)
+        packed = ((jnp.where(accept, tile_id.astype(jnp.uint32),
+                             jnp.uint32(0xFFFF)) << 16) | d16c)
+        if config.deterministic:
+          # full f32 depth as the secondary key: quantized-key ties
+          # break on true depth, making the blend order reproducible
+          # and input-order-invariant (config.deterministic docstring)
+          key = (packed, jnp.broadcast_to(depc, tile_id.shape))
+        else:
+          key = packed
       else:
         key = (jnp.where(accept, tile_id, TILE_SENTINEL),
                jnp.broadcast_to(depc, tile_id.shape))
@@ -455,7 +462,8 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
         j, jy, jx, col2(tx0), col2(ty0), col2(mxc), col2(myc),
         col2(budget), tuple(map(col2, ib)), col2(orig),
         col2(d16c) if use_depth16 else None, col2(depc))
-    key = key.ravel() if use_depth16 else tuple(k.ravel() for k in key)
+    key = (tuple(k.ravel() for k in key) if isinstance(key, tuple)
+           else key.ravel())
     return ([key], [pv.ravel()],
             jnp.sum(accept, axis=1).astype(jnp.int32))
 
@@ -474,8 +482,11 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   if not pv_parts:
     # n == 0 (or zero emission tails): empty candidate stream
     pv_parts = [jnp.zeros((0,), jnp.int32)]
-    if use_depth16:
+    if use_depth16 and not config.deterministic:
       key_parts = [jnp.zeros((0,), jnp.uint32)]
+    elif use_depth16:
+      key_parts = [(jnp.zeros((0,), jnp.uint32),
+                    jnp.zeros((0,), points.dtype))]
     else:
       key_parts = [(jnp.zeros((0,), jnp.int32),
                     jnp.zeros((0,), points.dtype))]
@@ -489,7 +500,19 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
   # mode but common under depth16 quantization (see map_to_tiles'
   # depth16 docstring).
   cand_pos = jnp.concatenate(pv_parts)       # original point index or n
-  if use_depth16:
+  # config.deterministic maps to stable sorts (the reference's CUB radix
+  # is stable); depth16 additionally carries the full f32 depth as a
+  # secondary key so quantized ties break on true depth (reproducible
+  # and input-order-invariant — see the config docstring)
+  stable = config.deterministic
+  if use_depth16 and config.deterministic:
+    packed = jnp.concatenate([k[0] for k in key_parts])
+    cand_depth = jnp.concatenate([k[1] for k in key_parts])
+    packed, _, cand_pos = jax.lax.sort(
+        (packed, cand_depth, cand_pos), num_keys=2, is_stable=True)
+    sorted_tiles = jnp.where(packed >= jnp.uint32(0xFFFF0000), TILE_SENTINEL,
+                             (packed >> 16).astype(jnp.int32))
+  elif use_depth16:
     packed = jnp.concatenate(key_parts)
     packed, cand_pos = jax.lax.sort((packed, cand_pos), num_keys=1,
                                     is_stable=False)
@@ -499,7 +522,7 @@ def map_to_tiles(points: jax.Array, depth: jax.Array,
     cand_tiles = jnp.concatenate([k[0] for k in key_parts])
     cand_depth = jnp.concatenate([k[1] for k in key_parts])
     sorted_tiles, _, cand_pos = jax.lax.sort(
-        (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=False)
+        (cand_tiles, cand_depth, cand_pos), num_keys=2, is_stable=stable)
 
   # ---- per-tile ranges in the sorted candidate stream ----
   # bins abut, so one search over T+1 queries yields starts AND ends:

@@ -177,6 +177,36 @@ def test_depth16_render_close():
                              atol=5e-3)
 
 
+def test_deterministic_depth16_permutation_invariant():
+  """config.deterministic under depth16: quantized-key blend ties break
+  on the full f32 depth (secondary sort key), so the render is bitwise
+  identical across permuted input point orders. Without the secondary
+  key, even a stable sort blends ties in generation order, which a
+  permutation changes. (Reference behavior: CUB radix is stable but
+  generation-ordered — tile_mapper.py:154.)"""
+  image_size = (48, 48)
+  config = RasterConfig(tile_size=16, points_per_chunk=8,
+                        deterministic=True)
+  points, depth, feats = scene(11, 80, image_size)
+  # force heavy depth16-key collisions (16 coarse buckets) while keeping
+  # the true depths distinct: ties are common under quantization but
+  # measure-zero at full precision (VERDICT r4 / config docstring)
+  coarse = jnp.floor(jnp.clip(depth, 0, 0.99) * 8.0) / 8.0
+  jitter = jax.random.uniform(jax.random.PRNGKey(7), depth.shape,
+                              depth.dtype, 1e-7, 9e-7)
+  depth = coarse + jitter
+
+  img1 = rasterize(points, depth, feats, image_size, config,
+                   use_depth16=True).image
+  perm = jax.random.permutation(jax.random.PRNGKey(3), depth.shape[0])
+  img2 = rasterize(points[perm], depth[perm], feats[perm], image_size,
+                   config, use_depth16=True).image
+  assert np.array_equal(np.asarray(img1), np.asarray(img2))
+  # sanity: the collision construction actually produced ties
+  assert len(np.unique(np.asarray(
+      (jnp.clip(depth, 0, 1) * 65535).astype(jnp.uint32)))) < 20
+
+
 def test_overflow_truncates_without_nan():
   """When real overlaps exceed the mapper's reduction capacity, the
   overflow flag must be set and gradients must degrade to truncation —

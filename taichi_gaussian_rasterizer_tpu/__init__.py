@@ -17,7 +17,7 @@ from .ops import (CameraParams, project_to_image, project_points,
 from .ops.mapper import (TileMapping, map_to_tiles, pad_to_tile,
                          probe_emit_tails)
 from .ops.raster import (RasterOut, probe_reduce_capacity,
-                         probe_visit_chunks, rasterize, truncate_mapping,
+                         probe_visit_chunks, rasterize, truncate_mapping, TruncationGuard,
                          rasterize_with_tiles)
 from .models import (Rendering, render_gaussians, render_projected,
                      render_with_heuristics, viewspace_gradient)
@@ -42,6 +42,7 @@ __all__ = [
     "probe_reduce_capacity",
     "probe_visit_chunks",
     "truncate_mapping",
+    "TruncationGuard",
     "rasterize",
     "rasterize_with_tiles",
     "Rendering",

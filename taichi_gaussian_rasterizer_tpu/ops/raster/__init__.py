@@ -1,5 +1,5 @@
 from .function import (RasterOut, probe_reduce_capacity,
-                       probe_visit_chunks, rasterize, truncate_mapping,
+                       probe_visit_chunks, rasterize, truncate_mapping, TruncationGuard,
                        rasterize_with_tiles)
 from .forward import rasterize_tiles_pallas
 from .xla_impl import rasterize_tiles_xla
@@ -10,6 +10,7 @@ __all__ = [
     "probe_reduce_capacity",
     "probe_visit_chunks",
     "truncate_mapping",
+    "TruncationGuard",
     "rasterize",
     "rasterize_with_tiles",
     "rasterize_tiles_pallas",

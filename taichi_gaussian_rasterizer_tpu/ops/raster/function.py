@@ -358,6 +358,89 @@ def truncate_mapping(mapping: TileMapping, visit_chunks: jax.Array,
   return new, keep < cover, drift_overflow
 
 
+class TruncationGuard:
+  """Auto-reprobe harness for saturation-front truncation in training
+  loops (the documented resize-on-overflow flow, made unskippable).
+
+  Truncation (probe_visit_chunks + visit_chunks/visit_capacity) is exact
+  only while every truncated tile saturates within its kept front; a
+  drifting scene eventually violates that and the render flags
+  bin_overflow. A loop that re-probes "when flagged" has already
+  rendered — and would silently step on — one cropped frame. This guard
+  reads the flag BEFORE the caller steps and re-probes + re-renders the
+  SAME frame, so no optimizer step ever consumes a cropped render:
+
+      guard = TruncationGuard(config)
+      @functools.partial(jax.jit, static_argnames="visit_capacity")
+      def frame(params, visit_chunks, visit_capacity):
+          out = ... rasterize_with_tiles(..., visit_chunks=visit_chunks,
+                                         visit_capacity=visit_capacity)
+          return (loss, grads, ...), out.bin_overflow
+      result = guard.render(points2d, mapping,
+                            lambda vc, cap: frame(params, vc, cap))
+      ... optimizer step on result ...
+
+  Costs one scalar device->host readback per frame (the flag) plus one
+  probe forward + re-render per reprobe. visit_capacity is a static
+  (compile-time) size: the guard grows it monotonically in
+  `capacity_headroom` steps so steady drift re-jits the frame rarely,
+  not per-reprobe (the same policy as the mapper-capacity flow).
+  """
+
+  def __init__(self, config: RasterConfig, margin_chunks: int = 1,
+               capacity_headroom: float = 1.25):
+    assert config.saturation_early_exit and config.use_alpha_blending, (
+        "TruncationGuard requires saturation_early_exit and alpha "
+        "blending (same contract as probe_visit_chunks)")
+    self.config = config
+    self.margin_chunks = margin_chunks
+    self.capacity_headroom = capacity_headroom
+    self.visit_chunks: Optional[jax.Array] = None
+    self.visit_capacity: int = 0
+    self.reprobes: int = 0
+
+  def probe(self, gaussians2d: jax.Array, mapping: TileMapping) -> None:
+    """(Re)measure the saturation fronts on the current frame."""
+    vc, cap = probe_visit_chunks(gaussians2d, mapping, self.config,
+                                 margin_chunks=self.margin_chunks)
+    g = self.config.points_per_chunk
+    k_cap = mapping.overlap_to_point.shape[0]
+    cap = min(round_up(int(cap * self.capacity_headroom), g), k_cap)
+    self.visit_chunks = vc
+    # monotone: a shrinking scene keeps the old (larger) capacity rather
+    # than recompiling the frame for every probe
+    self.visit_capacity = max(cap, self.visit_capacity)
+
+  def render(self, gaussians2d: jax.Array, mapping: TileMapping,
+             render_fn):
+    """Render one frame with guaranteed-uncropped truncation.
+
+    render_fn(visit_chunks, visit_capacity) must return
+    (result, bin_overflow) where bin_overflow is the RasterOut /
+    Rendering flag of the truncated render inside. Returns result from
+    a render whose flag was clear; raises if a fresh probe of the very
+    same frame still crops (impossible unless render_fn renders a
+    different frame than `gaussians2d`/`mapping` — the stream-identity
+    contract of probe_visit_chunks).
+    """
+    if self.visit_chunks is None:
+      self.probe(gaussians2d, mapping)
+    result, overflow = render_fn(self.visit_chunks, self.visit_capacity)
+    if not bool(overflow):
+      return result
+    # the scene drifted past its probed front: re-probe and re-render
+    # the SAME frame (never let the caller step on the cropped render)
+    self.reprobes += 1
+    self.probe(gaussians2d, mapping)
+    result, overflow = render_fn(self.visit_chunks, self.visit_capacity)
+    if bool(overflow):
+      raise RuntimeError(
+          "TruncationGuard: render still cropped after a fresh probe — "
+          "render_fn must render exactly the frame passed to probe "
+          "(same gaussians, mapping capacity, emit_tails, depth16 mode)")
+    return result
+
+
 def _float0_like(tree):
   return jax.tree.map(
       lambda x: np.zeros(x.shape, jax.dtypes.float0)

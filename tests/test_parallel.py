@@ -294,3 +294,105 @@ def test_tp_rasterize_visibility_psum(mesh):
   # isolated pixels (each worth <= one blend weight)
   np.testing.assert_allclose(np.asarray(vis_tp), np.asarray(out.visibility),
                              rtol=1e-3, atol=5e-3)
+
+
+def test_balanced_stripes_skewed_scene(mesh):
+  """Balanced tile-parallel stripes (stripe_row_loads +
+  balance_stripe_rows): on a scene whose overlaps concentrate in a few
+  tile rows, the balanced partition must cut the max per-device overlap
+  load well below equal-height stripes, the assembled balanced render
+  must match the single-device image, and the balanced training step
+  must match single-device loss/gradients with zero dropped gaussians
+  (VERDICT r4 item 8)."""
+  from taichi_gaussian_rasterizer_tpu.models.renderer2d import (
+      project_gaussians2d)
+  from taichi_gaussian_rasterizer_tpu.ops.raster import rasterize
+  from taichi_gaussian_rasterizer_tpu.parallel import (
+      assemble_stripes, balance_stripe_rows, stripe_row_loads,
+      tp_rasterize, tp_train_step)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_2d_gaussians)
+
+  image_size = (64, 256)  # 16 tile rows over 8 devices
+  config = RasterConfig(tile_size=16, points_per_chunk=8)
+  n = 160
+  g = random_2d_gaussians(jax.random.PRNGKey(21), n, image_size,
+                          num_channels=3, dtype=jnp.float32)
+  points = project_gaussians2d(g)
+  # deliberately skew: squeeze 90% of the gaussians into the top two
+  # tile rows, leaving the bottom 14 rows nearly empty
+  y = points[:, 1]
+  y_skew = jnp.where(jnp.arange(n) < int(0.9 * n), y * (30.0 / 256.0), y)
+  points = points.at[:, 1].set(y_skew)
+  depth = jnp.clip(g.z_depth.reshape(-1), 0.0, 1.0)
+  feats = g.feature
+
+  loads = stripe_row_loads(points, depth, image_size, config)
+  rows = balance_stripe_rows(loads, N_DEV)
+  assert len(rows) == N_DEV and sum(rows) == 16 and min(rows) >= 1
+
+  def stripe_loads(partition):
+    out, i = [], 0
+    for r in partition:
+      out.append(int(loads[i:i + r].sum()))
+      i += r
+    return out
+
+  equal_max = max(stripe_loads((2,) * N_DEV))
+  balanced_max = max(stripe_loads(rows))
+  assert balanced_max <= 0.6 * equal_max, (
+      f"balanced {stripe_loads(rows)} (rows {rows}) vs equal max "
+      f"{equal_max}: balancing bought too little on this skew")
+
+  # correctness: assembled balanced render == single-device render
+  tp = tp_rasterize(mesh, config, image_size, stripe_rows=rows)
+  img_stack, w_stack = tp(points, depth, feats)
+  img = assemble_stripes(img_stack, rows, config.tile_size)
+  w = assemble_stripes(w_stack, rows, config.tile_size)
+  out = rasterize(points, depth, feats, image_size, config)
+  np.testing.assert_allclose(np.asarray(img), np.asarray(out.image),
+                             rtol=1e-4, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(w), np.asarray(out.image_weight),
+                             rtol=1e-4, atol=2e-5)
+
+  # balanced training step: loss + grads match, zero dropped gaussians
+  target = jax.random.normal(
+      jax.random.PRNGKey(22), (image_size[1], image_size[0], 3),
+      jnp.float32)
+  step = tp_train_step(mesh, config, image_size, local_points=n,
+                       stripe_rows=rows)
+  loss_tp, (gp_tp, gf_tp), _, _, dropped = step(points, depth, feats,
+                                                target)
+  assert int(dropped) == 0
+
+  def loss_1d(p, f):
+    o = rasterize(p, depth, f, image_size, config)
+    return jnp.sum((o.image - target) ** 2)
+
+  loss_1, (gp_1, gf_1) = jax.value_and_grad(
+      loss_1d, argnums=(0, 1))(points, feats)
+  np.testing.assert_allclose(float(loss_tp), float(loss_1), rtol=1e-5)
+  rel = lambda a, b: float(jnp.abs(a - b).max() / jnp.abs(b).max())
+  assert rel(gp_tp, gp_1) < 2e-2, rel(gp_tp, gp_1)
+  assert rel(gf_tp, gf_1) < 2e-2, rel(gf_tp, gf_1)
+
+
+def test_balance_stripe_rows_partitions():
+  """balance_stripe_rows: optimal contiguous bottleneck partition on
+  hand-checkable loads; every stripe >= 1 row, rows conserved."""
+  from taichi_gaussian_rasterizer_tpu.parallel import balance_stripe_rows
+  # hot head: best 3-way split of [9 1 1 1 1 1 1 1] is (1, 3, 4) or
+  # similar with bottleneck 9 (the single hot row is irreducible)
+  rows = balance_stripe_rows([9, 1, 1, 1, 1, 1, 1, 1], 3)
+  assert sum(rows) == 8 and len(rows) == 3 and min(rows) >= 1
+  loads = [9, 1, 1, 1, 1, 1, 1, 1]
+  def maxload(p):
+    out, i = [], 0
+    for r in p:
+      out.append(sum(loads[i:i + r])); i += r
+    return max(out)
+  assert maxload(rows) == 9
+  # uniform loads: the balanced split is the equal split
+  assert balance_stripe_rows([5] * 8, 4) == (2, 2, 2, 2)
+  # d == number of rows: forced all-ones
+  assert balance_stripe_rows([3, 7, 2], 3) == (1, 1, 1)

@@ -62,26 +62,55 @@ def elapsed():
   return time.perf_counter() - T_START
 
 
+def make_scene(n, image_size, scale_factor=1.0, alpha_range=(0.1, 0.9),
+               proxy=False):
+  """Build a Morton-ordered bench scene ON HOST CPU (eager ops through
+  the axon relay cost ~300 ms each; host generation + one device_put
+  saves ~50 s/row) and transfer it to the default device once.
+  proxy=True builds the trained-checkpoint occupancy proxy
+  (trained_like_gaussians) instead of the uniform test scene."""
+  from taichi_gaussian_rasterizer_tpu.utils import morton
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, random_3d_gaussians, trained_like_gaussians)
+
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
+    if proxy:
+      gaussians = trained_like_gaussians(jax.random.PRNGKey(1), n, camera)
+    else:
+      gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
+                                      scale_factor=scale_factor,
+                                      alpha_range=alpha_range)
+    # Morton-order, as io.load_gaussians_ply does for real scenes
+    order = morton.argsort(gaussians.position)
+    gaussians = jax.tree.map(lambda x: jnp.take(x, order, axis=0),
+                             gaussians)
+  dev = jax.devices()[0]
+  camera = jax.tree.map(
+      lambda x: jax.device_put(x, dev) if hasattr(x, "dtype") else x,
+      camera)
+  return jax.device_put(gaussians, dev), camera
+
+
 def bench_scene(n, image_size, config, iters=20, training=False,
-                scale_factor=1.0, alpha_range=(0.1, 0.9), label=""):
+                scale_factor=1.0, alpha_range=(0.1, 0.9), label="",
+                scene=None):
   """One fwd+bwd scene row. training=True benches the trainer's actual
   frame (BASELINE.json configs #4/#5): compute_visibility +
   compute_point_heuristic on, the heuristic sink differentiated
-  alongside the gaussians."""
+  alongside the gaussians. scene: optional prebuilt (gaussians, camera)
+  — the ms_real_scene row passes its PLY-round-tripped checkpoint."""
   from taichi_gaussian_rasterizer_tpu import (
       map_to_tiles, probe_emit_tails, probe_visit_chunks,
       project_to_image, render_gaussians)
-  from taichi_gaussian_rasterizer_tpu.utils import morton
-  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
-      random_camera, random_3d_gaussians)
 
-  camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
-  gaussians = random_3d_gaussians(jax.random.PRNGKey(1), n, camera,
-                                  scale_factor=scale_factor,
-                                  alpha_range=alpha_range)
-  # Morton-order, as io.load_gaussians_ply does for real scenes
-  order = morton.argsort(gaussians.position)
-  gaussians = jax.tree.map(lambda x: jnp.take(x, order, axis=0), gaussians)
+  if scene is None:
+    gaussians, camera = make_scene(n, image_size,
+                                   scale_factor=scale_factor,
+                                   alpha_range=alpha_range)
+  else:
+    gaussians, camera = scene
 
   # adaptive capacity: probe the true overlap count once, then re-jit
   # with a snug static capacity (the documented resize-on-overflow flow)
@@ -93,11 +122,20 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   # its overlap buffers exactly per frame (full_cumsum host total,
   # tile_mapper.py:163), so snug static sizing is protocol parity, not
   # a bench-only cheat. Training flows with drifting footprints keep
-  # the 1.5 default.
-  emit_tails = probe_emit_tails(pts, camera.image_size, config,
-                                margin=1.05)
-  probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
-                           capacity=16 * n, emit_tails=emit_tails)
+  # the 1.5 default. (Footprint math on host: eager relay ops are slow.)
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    emit_tails = probe_emit_tails(jax.device_put(pts, cpu),
+                                  camera.image_size, config, margin=1.05)
+  probe_cap = 16 * n
+  for _ in range(3):
+    probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
+                             capacity=probe_cap, emit_tails=emit_tails)
+    if not bool(probe_map.overflow):
+      break
+    # dense scenes (the trained-checkpoint proxy) can exceed 16
+    # overlaps/pt; a cropped probe would silently under-size capacity
+    probe_cap *= 2
   total = int(probe_map.total_overlaps)
   # 0.2% headroom: the probe measured THIS scene's exact total, so the
   # margin only covers slot alignment; every K-sized op (gather, both
@@ -108,6 +146,17 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   capacity = int((int(total * 1.002) + 1023) // 1024 * 1024)
   print(f"[{label}] n={n}: overlaps={total} ({total / n:.2f}/pt) "
         f"-> capacity={capacity} emit_tails={emit_tails}", file=sys.stderr)
+  if scene is not None:
+    # occupancy audit for the real-scene proxy row (the reference prints
+    # the same statistics: bench_tilemapper.py:58-61)
+    import numpy as np
+    ppt = np.asarray(probe_map.tile_ranges[:, 1]
+                     - probe_map.tile_ranges[:, 0])
+    pct = np.percentile(ppt, [10, 50, 90, 99]).astype(int)
+    print(f"[{label}] point_overlap={total / n:.2f} "
+          f"tile_points mean={ppt.mean():.1f} "
+          f"p10/p50/p90/p99={pct.tolist()} max={ppt.max()}",
+          file=sys.stderr)
 
   # saturating scenes: truncate the candidate stream to each tile's
   # pre-saturation front (probe + re-jit, like capacity) — the combined
@@ -160,12 +209,18 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   g_image = jax.random.normal(
       jax.random.PRNGKey(2), (image_size[1], image_size[0], 3), jnp.float32)
 
-  # saturation statistics (one eager render): auditable occupancy regime
-  r = jax.jit(lambda g: render_gaussians(
-      g, camera, config, capacity=capacity,
-      emit_tails=emit_tails))(gaussians)
-  sat_frac = float(jnp.mean(
-      (r.image_weight >= config.saturate_threshold).astype(jnp.float32)))
+  # saturation statistics: auditable occupancy regime. The forward-only
+  # render costs a separate ~50 s cold compile, so it runs only where
+  # the result matters — early-exit rows, whose truncated frame must be
+  # validated against it anyway. Light rows report -1 (historical audit:
+  # 0.000-0.013 across the r4 sweep; they never saturate by design).
+  sat_frac = -1.0
+  if config.saturation_early_exit:
+    r = jax.jit(lambda g: render_gaussians(
+        g, camera, config, capacity=capacity,
+        emit_tails=emit_tails))(gaussians)
+    sat_frac = float(jnp.mean(
+        (r.image_weight >= config.saturate_threshold).astype(jnp.float32)))
   if visit_chunks is not None:
     # the truncated render must be exact (every truncated tile saturates
     # within its kept front) AND match the untruncated image bit-for-bit
@@ -190,6 +245,44 @@ def bench_scene(n, image_size, config, iters=20, training=False,
     _, probe = train_frame(gaussians, g_image)
   _ = float(probe)  # device->host readback: waits for true completion
   return (time.perf_counter() - t0) / iters * 1000.0, compile_s
+
+
+def real_scene(n, image_size):
+  """Trained-checkpoint proxy through the real IO path: synthesize the
+  occupancy proxy (trained_like_gaussians — no network, so the published
+  trained-scene occupancy shape is synthesized rather than downloaded),
+  round-trip it through a standard 3DGS binary .ply on disk
+  (save_gaussians_ply -> load_gaussians_ply with Morton reordering, the
+  exact flow a user loads a pretrained checkpoint with), and return the
+  (gaussians, camera) scene for bench_scene."""
+  import os
+  import tempfile
+
+  from taichi_gaussian_rasterizer_tpu.data_types import Gaussians3D
+  from taichi_gaussian_rasterizer_tpu.io import (load_gaussians_ply,
+                                                 save_gaussians_ply)
+  from taichi_gaussian_rasterizer_tpu.utils.random_data import (
+      random_camera, trained_like_gaussians)
+
+  cpu = jax.devices("cpu")[0]
+  with jax.default_device(cpu):
+    camera = random_camera(jax.random.PRNGKey(0), image_size=image_size)
+    g = trained_like_gaussians(jax.random.PRNGKey(1), n, camera)
+  path = os.path.join(tempfile.mkdtemp(prefix="tgr_bench_"), "proxy.ply")
+  save_gaussians_ply(path, g)
+  loaded = load_gaussians_ply(path, morton_order=True)
+  # deg-0 checkpoint: flatten the single DC band back to plain RGB so
+  # the row is feature-comparable with the rest of the sweep
+  g2 = Gaussians3D(position=loaded.position,
+                   log_scaling=loaded.log_scaling,
+                   rotation=loaded.rotation,
+                   alpha_logit=loaded.alpha_logit,
+                   feature=loaded.feature[:, :, 0])
+  dev = jax.devices()[0]
+  camera = jax.tree.map(
+      lambda x: jax.device_put(x, dev) if hasattr(x, "dtype") else x,
+      camera)
+  return jax.device_put(g2, dev), camera
 
 
 def main():
@@ -220,6 +313,23 @@ def main():
     # the sweep still captures everything finished so far (the driver
     # parses the LAST valid JSON line on stdout)
     print(json.dumps(out), flush=True)
+
+  # ---- one-time Mosaic/backend warmup (measured 40-260 s on a cold
+  # relay; paying it on a throwaway kernel keeps it out of every row's
+  # compile budget and deadline) ----
+  t0 = time.perf_counter()
+  from jax.experimental import pallas as pl
+
+  def _warm(x_ref, o_ref):
+    o_ref[:] = x_ref[:] * 2.0
+
+  y = jax.jit(lambda x: pl.pallas_call(
+      _warm, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x))(
+          jnp.ones((8, 128), jnp.float32))
+  _ = float(y[0, 0])
+  out["warmup_s"] = round(time.perf_counter() - t0, 1)
+  print(f"[warmup] pallas backend setup {out['warmup_s']}s",
+        file=sys.stderr)
 
   # ---- headline row FIRST (the number the round is judged on) ----
   try:
@@ -255,22 +365,32 @@ def main():
       out[key] = None
     emit()
 
-  # importance order; deadlines assume worst-case ~2 min cold compile
-  # per row and a ~20 min driver budget
-  row("training_mode_ms", 240, 1_000_000, image_size, light, iters=10,
-      training=True)
-  row("ms_heavy", 360, 1_000_000, image_size, heavy, iters=10,
+  # importance order; deadlines assume a ~20 min driver budget with
+  # ~1-2 min/row cold-cache compiles (warm-cache rows run in ~30-60 s;
+  # the end-of-round ritual runs bench.py once after the final commit so
+  # the driver's run hits a warm cache)
+  try:
+    proxy_scene = real_scene(1_000_000, image_size)
+  except Exception as e:
+    proxy_scene = None
+    print(f"[ms_real_scene] scene build FAILED: {e}", file=sys.stderr)
+  if proxy_scene is not None:
+    row("ms_real_scene", 360, 1_000_000, image_size, heavy, iters=10,
+        scene=proxy_scene)
+  row("ms_heavy", 480, 1_000_000, image_size, heavy, iters=10,
       **heavy_scene)
-  row("ms_1024", 480, 1_000_000, (1024, 768), light, iters=20)
-  row("ms_4096", 570, 1_000_000, (4096, 3072), light, iters=5)
-  row("ms_2048_t32", 690, 1_000_000, image_size,
+  row("training_mode_ms", 580, 1_000_000, image_size, light, iters=10,
+      training=True)
+  row("ms_1024", 660, 1_000_000, (1024, 768), light, iters=20)
+  row("ms_4096", 740, 1_000_000, (4096, 3072), light, iters=5)
+  row("ms_2048_t32", 820, 1_000_000, image_size,
       light.replace(tile_size=32), iters=10)
-  row("ms_3m", 780, 3_000_000, image_size, light, iters=10)
-  row("ms_heavy_training", 870, 1_000_000, image_size, heavy, iters=10,
+  row("ms_3m", 900, 3_000_000, image_size, light, iters=10)
+  row("ms_heavy_training", 970, 1_000_000, image_size, heavy, iters=10,
       training=True, **heavy_scene)
-  row("ms_antialias", 960, 1_000_000, image_size,
+  row("ms_antialias", 1040, 1_000_000, image_size,
       light.replace(antialias=True), iters=10)
-  row("ms_6m", 1020, 6_000_000, image_size, light, iters=5)
+  row("ms_6m", 1100, 6_000_000, image_size, light, iters=5)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,85 @@ def random_3d_gaussians(key, n: int, camera_params: CameraParams,
       feature=feature)
 
 
+def trained_like_gaussians(key, n: int, camera_params: CameraParams,
+                           surface_frac: float = 0.8,
+                           dtype=jnp.float32) -> Gaussians3D:
+  """Synthetic proxy for a TRAINED 3DGS checkpoint (the real-scene bench
+  regime, VERDICT r4 item 5 — no network access, so the occupancy shape
+  is synthesized rather than downloaded).
+
+  Trained checkpoints differ from the uniform test scenes
+  (random_3d_gaussians) in the ways that drive rasterizer cost, per the
+  reference's own benchmark recipe (bench_rasterizer.py:49-50 scales its
+  random scenes by 4x and pushes alpha toward 1 to mimic them) and the
+  published 3DGS training behavior:
+
+  * log-normal scale spread (densification splits big splats and prunes
+    tiny ones, leaving a heavy-tailed size mix) with per-axis anisotropy
+    (trained splats flatten onto surfaces),
+  * bimodal near-opaque alpha (opacity resets + pruning leave most
+    survivors opaque, a minority translucent),
+  * a surface population at concentrated depths plus a large-splat
+    background fill population.
+
+  The resulting occupancy statistics (overlaps/point, points-per-tile
+  percentiles, saturated-pixel fraction — printed by bench.py's
+  ms_real_scene row) land in the trained-checkpoint regime: heavy
+  per-tile tails and mostly-saturated pixels.
+  """
+  keys = jax.random.split(key, 9)
+  w, h = camera_params.image_size
+  n_surf = int(n * surface_frac)
+
+  # spatially CLUSTERED surface points (objects concentrate splats;
+  # sky/floor tiles stay sparse — the heavy per-tile tail real scenes
+  # show) over a uniform fill
+  n_clusters = 48
+  centers = jax.random.uniform(keys[7], (n_clusters, 2), dtype) \
+      * jnp.asarray([w, h], dtype)
+  cid = jax.random.randint(keys[8], (n,), 0, n_clusters)
+  spread = jnp.asarray([w, h], dtype) * 0.04
+  uv_cluster = (jnp.take(centers, cid, axis=0)
+                + jax.random.normal(keys[0], (n, 2), dtype) * spread)
+  uv_uniform = jax.random.uniform(
+      jax.random.fold_in(keys[0], 1), (n, 2), dtype) \
+      * jnp.asarray([w, h], dtype)
+  in_cluster = jax.random.uniform(
+      jax.random.fold_in(keys[0], 2), (n,), dtype) < 0.6
+  uv = jnp.clip(jnp.where(in_cluster[:, None], uv_cluster, uv_uniform),
+                0.0, jnp.asarray([w - 1.0, h - 1.0], dtype))
+  is_surf = jnp.arange(n) < n_surf
+  # surface depths concentrated near the scene body (ndc^1.5 biases
+  # near); background pushed toward far
+  ndc = jax.random.uniform(keys[1], (n,), dtype)
+  ndc = jnp.where(is_surf, ndc ** 1.5 * 0.6 + 0.05, 0.7 + 0.3 * ndc)
+  depth = lib.inverse_ndc_depth(ndc, camera_params.near_plane,
+                                camera_params.far_plane)
+  position = unproject_points(uv, depth[:, None], camera_params)
+
+  fx = camera_params.projection[0]
+  base = (w / math.sqrt(max(n, 1))) * (depth / fx)
+  size_mult = jnp.exp(
+      jax.random.normal(keys[2], (n,), dtype) * 0.8
+      + jnp.where(is_surf, math.log(1.1), math.log(3.0)))
+  aniso = jnp.exp(jax.random.normal(keys[3], (n, 3), dtype) * 0.5)
+  scaling = base[:, None] * size_mult[:, None] * aniso
+
+  rotation = lib.safe_normalize(jax.random.normal(keys[4], (n, 4), dtype))
+
+  # bimodal, mostly-opaque alpha: logit normal(1.8, 1.6) -> median ~0.86
+  # with a translucent minority (never saturating alpha_threshold)
+  alpha_logit = (jax.random.normal(keys[5], (n,), dtype) * 1.6 + 1.8)
+  feature = jax.random.uniform(keys[6], (n, 3), dtype)
+
+  return Gaussians3D(
+      position=position,
+      log_scaling=jnp.log(scaling),
+      rotation=rotation,
+      alpha_logit=alpha_logit[:, None],
+      feature=feature)
+
+
 def random_2d_gaussians(key, n: int, image_size: Tuple[int, int],
                         num_channels: int = 3, scale_factor: float = 1.0,
                         alpha_range=(0.1, 0.9), depth_range=(0.0, 1.0),

@@ -374,23 +374,29 @@ def main():
   except Exception as e:
     proxy_scene = None
     print(f"[ms_real_scene] scene build FAILED: {e}", file=sys.stderr)
+  # measured row costs (r5 session sweep, ~55-60 s/executable compile —
+  # the relay recompiles every process; see PERF.md "compile-time
+  # anatomy"): headline ~5 min, real_scene ~7 (five 11.7M-slot-config
+  # compiles + probes), heavy ~5, training ~3, 3m ~3.5. Deadlines are
+  # cumulative start gates; the incremental emit() above makes a driver
+  # timeout mid-row lossless.
   if proxy_scene is not None:
-    row("ms_real_scene", 360, 1_000_000, image_size, heavy, iters=10,
+    row("ms_real_scene", 420, 1_000_000, image_size, heavy, iters=10,
         scene=proxy_scene)
-  row("ms_heavy", 480, 1_000_000, image_size, heavy, iters=10,
+  row("ms_heavy", 780, 1_000_000, image_size, heavy, iters=10,
       **heavy_scene)
-  row("training_mode_ms", 580, 1_000_000, image_size, light, iters=10,
+  row("training_mode_ms", 1020, 1_000_000, image_size, light, iters=10,
       training=True)
-  row("ms_1024", 660, 1_000_000, (1024, 768), light, iters=20)
-  row("ms_4096", 740, 1_000_000, (4096, 3072), light, iters=5)
-  row("ms_2048_t32", 820, 1_000_000, image_size,
-      light.replace(tile_size=32), iters=10)
-  row("ms_3m", 900, 3_000_000, image_size, light, iters=10)
-  row("ms_heavy_training", 970, 1_000_000, image_size, heavy, iters=10,
+  row("ms_3m", 1200, 3_000_000, image_size, light, iters=10)
+  row("ms_heavy_training", 1380, 1_000_000, image_size, heavy, iters=10,
       training=True, **heavy_scene)
-  row("ms_antialias", 1040, 1_000_000, image_size,
+  row("ms_1024", 1500, 1_000_000, (1024, 768), light, iters=20)
+  row("ms_4096", 1620, 1_000_000, (4096, 3072), light, iters=5)
+  row("ms_2048_t32", 1740, 1_000_000, image_size,
+      light.replace(tile_size=32), iters=10)
+  row("ms_antialias", 1860, 1_000_000, image_size,
       light.replace(antialias=True), iters=10)
-  row("ms_6m", 1100, 6_000_000, image_size, light, iters=5)
+  row("ms_6m", 1980, 6_000_000, image_size, light, iters=5)
 
 
 if __name__ == "__main__":

@@ -131,10 +131,14 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   for _ in range(3):
     probe_map = map_to_tiles(pts, depth[:, 0], camera.image_size, config,
                              capacity=probe_cap, emit_tails=emit_tails)
-    if not bool(probe_map.overflow):
+    # Loop on CAPACITY overflow only (total_overlaps counts accepted
+    # candidates before the capacity crop). The combined overflow flag
+    # also covers the max_tile_span footprint clip, which no capacity
+    # doubling can clear — dense scenes (the trained-checkpoint proxy)
+    # clip a few giant splats and used to burn 2 extra ~60 s probe
+    # compiles here for nothing.
+    if int(probe_map.total_overlaps) <= probe_cap:
       break
-    # dense scenes (the trained-checkpoint proxy) can exceed 16
-    # overlaps/pt; a cropped probe would silently under-size capacity
     probe_cap *= 2
   total = int(probe_map.total_overlaps)
   # 0.2% headroom: the probe measured THIS scene's exact total, so the
@@ -236,9 +240,15 @@ def bench_scene(n, image_size, config, iters=20, training=False,
   grads, probe = train_frame(gaussians, g_image)
   compile_s = time.perf_counter() - t0
   assert bool(jnp.isfinite(probe)), "non-finite gradient probe"
+  # attribute the overflow flag: capacity overflow would be a sizing bug
+  # (the probe loop above prevents it); a remaining True means the
+  # max_tile_span footprint clip fired (giant splats' far tiles dropped
+  # — the documented quality knob, config.py), which dense trained-like
+  # scenes hit on their log-normal scale tail
   overflow = bool(probe_map.overflow)
+  clip = "footprint_clip" if overflow and total <= probe_cap else str(overflow)
   print(f"[{label}] compile {compile_s:.1f}s probe={float(probe):.4g} "
-        f"overflow={overflow} saturated_px={sat_frac:.3f}", file=sys.stderr)
+        f"overflow={clip} saturated_px={sat_frac:.3f}", file=sys.stderr)
 
   t0 = time.perf_counter()
   for _ in range(iters):
@@ -330,6 +340,13 @@ def main():
   out["warmup_s"] = round(time.perf_counter() - t0, 1)
   print(f"[warmup] pallas backend setup {out['warmup_s']}s",
         file=sys.stderr)
+  # Row deadlines are calibrated for a WARM relay; the one-time backend
+  # setup above has measured anywhere from 40 s to 674 s depending on
+  # relay state, which is outside the rows' control. Start the deadline
+  # clock after it so a slow warmup skips no rows (a driver timeout
+  # mid-sweep stays lossless via the incremental emit()).
+  global T_START
+  T_START = time.perf_counter()
 
   # ---- headline row FIRST (the number the round is judged on) ----
   try:

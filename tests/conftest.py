@@ -27,7 +27,26 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the suite is compile-bound (interpret-mode
 # Pallas + x64 recompiles), so repeat local runs — especially the
 # `-m quick` smoke subset — hit the cache and run in seconds.
-_cache = os.path.expanduser("~/.cache/tgr_xla_test")
+#
+# The dir is fingerprinted by host CPU features: XLA:CPU AOT executables
+# are machine-specific, and reusing a cache written on a different host
+# has crashed the suite (SIGSEGV/SIGABRT in the cache read/load path,
+# after cpu_aot_loader feature-mismatch warnings). A new machine gets a
+# fresh cache instead of inheriting incompatible executables.
+def _host_fingerprint():
+  import hashlib
+  try:
+    with open("/proc/cpuinfo") as f:
+      for line in f:
+        if line.startswith("flags"):
+          return hashlib.sha1(line.encode()).hexdigest()[:10]
+  except OSError:
+    pass
+  import platform
+  return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+_cache = os.path.expanduser(f"~/.cache/tgr_xla_test_{_host_fingerprint()}")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -9,10 +9,32 @@ interpreter mode), and profiling helpers.
 """
 
 import contextlib
+import hashlib
 import os
 from typing import Optional
 
 import jax
+
+
+def host_fingerprint() -> str:
+  """Short hash of the host CPU's feature flags.
+
+  XLA:CPU AOT executables are machine-specific: loading a persistent-
+  cache entry compiled on a host with different CPU features logs
+  cpu_aot_loader feature-mismatch errors and can SIGILL/SIGSEGV the
+  process (observed when a home directory — and thus ~/.cache —
+  persists across heterogeneous machines). Cache directories are
+  therefore machine-scoped by suffixing this fingerprint.
+  """
+  try:
+    with open("/proc/cpuinfo") as f:
+      for line in f:
+        if line.startswith("flags"):
+          return hashlib.sha1(line.encode()).hexdigest()[:10]
+  except OSError:
+    pass
+  import platform
+  return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def init(platform: Optional[str] = None, debug: bool = False,
@@ -27,7 +49,9 @@ def init(platform: Optional[str] = None, debug: bool = False,
   compilation_cache: persistent XLA compile-cache directory (None to
   disable). Raster-kernel specializations compile in ~1-2 min each on
   the TPU toolchain; the cache makes every later process pay seconds
-  (the reference's lazy-Taichi-JIT experience, README.md:95).
+  (the reference's lazy-Taichi-JIT experience, README.md:95). The
+  directory is suffixed with `host_fingerprint()` — a cache written on
+  a machine with different CPU features must not be reused (see there).
   """
   if platform is not None:
     jax.config.update("jax_platforms", platform)
@@ -35,7 +59,7 @@ def init(platform: Optional[str] = None, debug: bool = False,
     jax.config.update("jax_enable_x64", True)
   jax.config.update("jax_debug_nans", debug)
   if compilation_cache:
-    path = os.path.expanduser(compilation_cache)
+    path = os.path.expanduser(compilation_cache) + "_" + host_fingerprint()
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

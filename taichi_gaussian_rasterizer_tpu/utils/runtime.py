@@ -17,20 +17,31 @@ import jax
 
 
 def host_fingerprint() -> str:
-  """Short hash of the host CPU's feature flags.
+  """Short hash of the host CPU's identity (model + stepping + flags).
 
   XLA:CPU AOT executables are machine-specific: loading a persistent-
   cache entry compiled on a host with different CPU features logs
   cpu_aot_loader feature-mismatch errors and can SIGILL/SIGSEGV the
   process (observed when a home directory — and thus ~/.cache —
   persists across heterogeneous machines). Cache directories are
-  therefore machine-scoped by suffixing this fingerprint.
+  therefore machine-scoped by suffixing this fingerprint. The model/
+  stepping lines matter beyond the flags line: LLVM derives per-
+  microarchitecture *tuning* pseudo-features (+prefer-no-scatter /
+  +prefer-no-gather) from the CPU model, so two hosts with identical
+  /proc/cpuinfo flags can still bake incompatible feature lists into
+  their AOT results (observed across a machine refresh, 2026-08-20).
   """
   try:
+    ident = []
     with open("/proc/cpuinfo") as f:
       for line in f:
-        if line.startswith("flags"):
-          return hashlib.sha1(line.encode()).hexdigest()[:10]
+        if line.startswith(("flags", "model", "stepping", "cpu family",
+                            "vendor_id")):
+          ident.append(line)
+        if line.strip() == "" and ident:
+          break  # first core only; all cores are identical
+    if ident:
+      return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
   except OSError:
     pass
   import platform

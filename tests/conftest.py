@@ -34,12 +34,22 @@ jax.config.update("jax_enable_x64", True)
 # after cpu_aot_loader feature-mismatch warnings). A new machine gets a
 # fresh cache instead of inheriting incompatible executables.
 def _host_fingerprint():
+  # keep in sync with utils/runtime.py host_fingerprint(): model/stepping
+  # lines included because LLVM bakes per-microarchitecture tuning
+  # pseudo-features (+prefer-no-scatter/-gather) into AOT results that
+  # the flags line alone does not distinguish.
   import hashlib
   try:
+    ident = []
     with open("/proc/cpuinfo") as f:
       for line in f:
-        if line.startswith("flags"):
-          return hashlib.sha1(line.encode()).hexdigest()[:10]
+        if line.startswith(("flags", "model", "stepping", "cpu family",
+                            "vendor_id")):
+          ident.append(line)
+        if line.strip() == "" and ident:
+          break
+    if ident:
+      return hashlib.sha1("".join(ident).encode()).hexdigest()[:10]
   except OSError:
     pass
   import platform

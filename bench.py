@@ -36,6 +36,7 @@ persistent cache makes warm runs compile in seconds).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -360,11 +361,18 @@ def main():
     print(f"[headline] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
   emit()
 
+  # TGR_BENCH_DEADLINE_SCALE relaxes the row deadlines (e.g. =3 for the
+  # end-of-round cache-warming run, which must compile EVERY row so the
+  # driver's capture hits a fully warm cache; the driver itself runs at
+  # the default 1.0 budget).
+  deadline_scale = float(os.environ.get("TGR_BENCH_DEADLINE_SCALE", "1"))
+
   def row(key, deadline_s, *args, **kwargs):
     # deadline: don't START a row once the sweep has been running this
     # long — a cold-cache compile is 1-2 min/row and the driver's total
     # budget is finite; rows are ordered so the cheap, baseline-matched
     # ones come first.
+    deadline_s = deadline_s * deadline_scale
     if elapsed() > deadline_s:
       print(f"[{key}] SKIPPED (elapsed {elapsed():.0f}s > {deadline_s}s "
             "deadline)", file=sys.stderr)

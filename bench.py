@@ -54,6 +54,7 @@ BASELINE_MS = {
     "1M_1024": 1000.0 / 106.43,   # 9.40
     "1M_4096": 1000.0 / 47.34,    # 21.12
     "1M_2048_t32": 1000.0 / 79.69,  # 12.55 (taichi-splatting(32) row)
+    "1M_2048_fwd": 1000.0 / 218.35,  # 4.58 (forward-only row, csv:12)
 }
 
 T_START = time.perf_counter()
@@ -96,7 +97,7 @@ def make_scene(n, image_size, scale_factor=1.0, alpha_range=(0.1, 0.9),
 
 def bench_scene(n, image_size, config, iters=20, training=False,
                 scale_factor=1.0, alpha_range=(0.1, 0.9), label="",
-                scene=None):
+                scene=None, forward_only=False):
   """One fwd+bwd scene row. training=True benches the trainer's actual
   frame (BASELINE.json configs #4/#5): compute_visibility +
   compute_point_heuristic on, the heuristic sink differentiated
@@ -185,6 +186,13 @@ def bench_scene(n, image_size, config, iters=20, training=False,
 
   @jax.jit
   def train_frame(gaussians, g_image):
+    if forward_only:
+      # the reference's forward-only protocol row (benchmark-4090.csv:12):
+      # one full render, no gradients
+      r = render_gaussians(gaussians, camera, config, capacity=capacity,
+                           emit_tails=emit_tails, visit_chunks=visit_chunks,
+                           visit_capacity=visit_capacity)
+      return r.image, jnp.sum(r.image)
     if training:
       sink = jnp.zeros((n, 2), jnp.float32)
       vsink = jnp.zeros((n,), jnp.float32)
@@ -382,7 +390,8 @@ def main():
       print(f"[{key}] {ms:.2f} ms/frame", file=sys.stderr)
       out[key] = round(ms, 3)
       base = {"ms_1024": "1M_1024", "ms_4096": "1M_4096",
-              "ms_2048_t32": "1M_2048_t32"}.get(key)
+              "ms_2048_t32": "1M_2048_t32",
+              "ms_fwd_only": "1M_2048_fwd"}.get(key)
       if base:
         out[f"vs_baseline_{key[3:]}"] = round(BASELINE_MS[base] / ms, 4)
     except Exception as e:  # report partial results rather than dying
@@ -412,7 +421,9 @@ def main():
       **heavy_scene)
   row("training_mode_ms", 1020, 1_000_000, image_size, light, iters=10,
       training=True)
-  row("ms_3m", 1200, 3_000_000, image_size, light, iters=10)
+  row("ms_fwd_only", 1100, 1_000_000, image_size, light, iters=20,
+      forward_only=True)
+  row("ms_3m", 1260, 3_000_000, image_size, light, iters=10)
   row("ms_heavy_training", 1380, 1_000_000, image_size, heavy, iters=10,
       training=True, **heavy_scene)
   row("ms_1024", 1500, 1_000_000, (1024, 768), light, iters=20)
